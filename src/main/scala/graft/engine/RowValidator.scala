@@ -1,0 +1,80 @@
+package graft.engine
+
+import graft.json._
+import graft.schema.SchemaDoc
+import graft.validate.{Validator, Options, Violation}
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fallback bulk path: the row-level validator core applied per row with the
+  * compiled schema registry **broadcast** to executors (north rule). Used for
+  * schemas the Column compiler cannot express (recursive `$ref`, dynamic
+  * objects, content decoding); still a narrow map — no shuffle.
+  */
+object RowValidator {
+
+  /** Convert a Spark value (from `Row#get`) + its DataType to the JSON AST. */
+  def toJVal(v: Any, dt: DataType): JVal =
+    if (v == null) JNull
+    else (v, dt) match {
+      case (s: String, _)                 => JStr(s)
+      case (b: Boolean, _)                => JBool(b)
+      case (i: Int, _)                    => JNum(BigDecimal(i))
+      case (l: Long, _)                   => JNum(BigDecimal(l))
+      case (s: Short, _)                  => JNum(BigDecimal(s.toInt))
+      case (b: Byte, _)                   => JNum(BigDecimal(b.toInt))
+      case (f: Float, _)                  => JNum(BigDecimal(f.toDouble))
+      case (d: Double, _)                 => JNum(BigDecimal(d))
+      case (d: java.math.BigDecimal, _)   => JNum(BigDecimal(d))
+      case (r: Row, st: StructType) =>
+        JObj(st.fields.toVector.zipWithIndex.map { case (f, i) =>
+          f.name -> toJVal(r.get(i), f.dataType)
+        })
+      case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
+        JArr(seq.toVector.map(toJVal(_, elem)))
+      case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
+        JObj(m.toVector.map { case (k, mv) => k.toString -> toJVal(mv, vt) })
+      case (other, t) =>
+        throw new IllegalArgumentException(s"cannot map $other of Spark type $t to JSON")
+    }
+
+  /** Validate each row of `df` (the whole row as the instance object).
+    * Returns `df` columns + `valid:boolean` +
+    * `errors:array<struct<path,keyword,message>>`. */
+  def validateRows(spark: SparkSession, df: DataFrame, schemaJson: String): DataFrame = {
+    val bcSchema: Broadcast[SchemaDoc] =
+      spark.sparkContext.broadcast(SchemaDoc.schema(schemaJson))
+    val schema = df.schema
+    val outSchema = schema
+      .add(StructField("valid", BooleanType, nullable = false))
+      .add(StructField("errors", ColumnCompiler.errorType, nullable = false))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      val compiled = bcSchema.value
+      rows.map { row =>
+        val inst = toJVal(row, schema)
+        val res = Validator.validate(compiled, inst, Options())
+        val errRows = leafErrors(res.errors).map(v => Row(v.path, v.keyword, v.message))
+        Row.fromSeq(row.toSeq :+ res.valid :+ errRows)
+      }
+    }(enc)
+  }
+
+  /** The engine's exploded violation rows are the flattened leaves: drop
+    * applicator-level parent entries that only summarize child causes. */
+  def leafErrors(errors: Vector[Violation]): Vector[Violation] = {
+    val parents = Set("properties", "items", "allOf", "anyOf", "dependencies",
+      "patternProperties", "additionalProperties", "then", "else", "$ref")
+    val byPath = errors.groupBy(_.path)
+    errors.filterNot { v =>
+      parents.contains(v.keyword) &&
+        errors.exists(o => o != v && (o.path.startsWith(v.path + "/") ||
+          (o.path == v.path && !parents.contains(o.keyword))))
+    } match {
+      case Vector() if errors.nonEmpty => errors.take(1) // keep at least one row
+      case leaves => leaves
+    }
+  }
+}

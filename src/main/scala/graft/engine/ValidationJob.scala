@@ -1,0 +1,69 @@
+package graft.engine
+
+import graft.schema.SchemaDoc
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bulk document validation: per-doc verdicts, exploded violation rows, and
+  * per-partition pass/fail summaries (north rule).
+  *
+  * The schema is compiled ONCE on the driver into Catalyst expressions
+  * ([[ColumnCompiler]]); the validation stage is a narrow projection over the
+  * scan — zero shuffle, whole-stage codegen, so at 10^12 docs it scales
+  * linearly with input splits. Falls back to the broadcast row-level core
+  * ([[RowValidator]]) only when the schema is not column-expressible.
+  */
+object ValidationJob {
+
+  /** `docs` must carry the interleaved shape (doc_id, spans) — extra columns
+    * pass through. Adds `valid` + `errors`. */
+  def withVerdicts(spark: SparkSession, docs: DataFrame, schemaJson: String): DataFrame = {
+    val doc = SchemaDoc.schema(schemaJson)
+    val payloadFields = docs.schema.fields.filter(f => f.name == "doc_id" || f.name == "spans")
+    val payloadType = StructType(payloadFields)
+    val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
+    try {
+      val errs = ColumnCompiler.errors(doc, payload, payloadType)
+      docs.withColumn("errors", errs)
+        .withColumn("valid", size(col("errors")) === 0)
+    } catch {
+      case _: ColumnCompiler.Unsupported =>
+        RowValidator.validateRows(spark, docs, schemaJson)
+    }
+  }
+
+  /** One row per violation: (doc_num, doc_id, path, keyword, message). */
+  def violations(verdicts: DataFrame): DataFrame =
+    verdicts
+      .where(size(col("errors")) > 0)
+      .select(col("doc_num"), col("doc_id"), explode(col("errors")).as("v"))
+      .select(
+        col("doc_num"), col("doc_id"),
+        col("v.path").as("path"),
+        col("v.keyword").as("keyword"),
+        col("v.message").as("message"))
+
+  /** Per-partition pass/fail verdicts. `partitionExpr` must be deterministic
+    * (e.g. a hash/modulo of the key) so results are reproducible across runs
+    * and cluster sizes — `spark_partition_id()` is not. */
+  def partitionVerdicts(verdicts: DataFrame, partitionExpr: Column, nPartitions: Int): DataFrame =
+    verdicts
+      .groupBy((partitionExpr % nPartitions).cast(IntegerType).as("partition"))
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("valid"), 1L).otherwise(0L)).as("pass_count"),
+        sum(when(col("valid"), 0L).otherwise(1L)).as("fail_count"),
+        sum(size(col("errors")).cast(LongType)).as("violation_count"))
+
+  /** Per-row span-sequence invariant vs a reference frame (BASELINE.json
+    * input_hint): order-sensitive equality of (kind, text, media_ref) by
+    * position. Compares two doc frames and returns rows that differ. */
+  def spanMismatches(a: DataFrame, b: DataFrame): DataFrame = {
+    def key(df: DataFrame, tag: String) =
+      df.select(col("doc_num"),
+        to_json(col("spans")).as(s"spans_$tag"))
+    key(a, "a").join(key(b, "b"), Seq("doc_num"), "full_outer")
+      .where(not(col("spans_a") <=> col("spans_b")))
+  }
+}

@@ -59,7 +59,23 @@ object SparkEntry {
     "q_drift_bins" -> ((s, dir) =>
       Checks.driftBins(
         s.read.parquet(s"$dir/events.parquet"),
-        "value", col("event_id") % 2 === 0, 10.0))
+        "value", col("event_id") % 2 === 0, 10.0)),
+
+    // drift scores over the binned counts; rounded so the rows are stable.
+    // No oracleSql entry: PSI/KS are engine-side scalar reductions (driver
+    // records a rows-only check).
+    "q_drift_scores" -> ((s, dir) => {
+      val bins = Checks.driftBins(
+        s.read.parquet(s"$dir/events.parquet"),
+        "value", col("event_id") % 2 === 0, 50.0).collect()
+      val ref = bins.map(_.getAs[Long]("ref_count")).toSeq
+      val cur = bins.map(_.getAs[Long]("cur_count")).toSeq
+      import s.implicits._
+      Seq(
+        ("psi", math.rint(Drift.psi(ref, cur) * 1e6) / 1e6),
+        ("ks", math.rint(Drift.ks(ref, cur) * 1e6) / 1e6)
+      ).toDF("measure", "score").orderBy("measure")
+    })
   )
 
   /** DuckDB mirrors. Column names must match the Spark outputs exactly. */

@@ -91,13 +91,16 @@ object Checks {
 /** Two-sample drift measures over binned counts (driver-side, tiny). */
 object Drift {
 
-  /** Population Stability Index over two binned count vectors. */
-  def psi(refCounts: Seq[Long], curCounts: Seq[Long], epsilon: Double = 1e-6): Double = {
-    val rTot = refCounts.sum.toDouble.max(1)
-    val cTot = curCounts.sum.toDouble.max(1)
+  /** Population Stability Index over two binned count vectors, with Laplace
+    * smoothing (`alpha` pseudo-counts per bin) so sparse/empty bins don't
+    * blow up the log-ratio. */
+  def psi(refCounts: Seq[Long], curCounts: Seq[Long], alpha: Double = 0.5): Double = {
+    val n = refCounts.length.max(1)
+    val rTot = refCounts.sum.toDouble + alpha * n
+    val cTot = curCounts.sum.toDouble + alpha * n
     refCounts.zip(curCounts).map { case (r, c) =>
-      val rp = math.max(r / rTot, epsilon)
-      val cp = math.max(c / cTot, epsilon)
+      val rp = (r + alpha) / rTot
+      val cp = (c + alpha) / cTot
       (cp - rp) * math.log(cp / rp)
     }.sum
   }

@@ -1,0 +1,19 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** One local session shared by all Spark-backed specs (sbt forks a single
+  * test JVM). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

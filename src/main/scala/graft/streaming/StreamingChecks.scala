@@ -1,0 +1,71 @@
+package graft.streaming
+
+import graft.engine.{ColumnCompiler, DocTable}
+import graft.schema.SchemaDoc
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming front of the engine: per-column streaming stats with
+  * watermarked tumbling windows, streaming validation (same compiled Column
+  * plan as batch — the schema compiles once, the stream reuses it), and
+  * stateful running per-partition verdicts via mapGroupsWithState.
+  */
+object StreamingChecks {
+
+  /** Windowed stats over a streaming frame with event-time column `tsCol`:
+    * count / min / max / avg + HLL++ approx-distinct per window. Late data
+    * beyond `watermark` is dropped (state is bounded — mandatory at scale). */
+  def windowedStats(
+      stream: DataFrame, tsCol: String, valueCol: String,
+      windowDuration: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"),
+        avg(col(valueCol)).as("avg_value"),
+        approx_count_distinct(col(valueCol), 0.02).as("approx_distinct"))
+      .select(col("window.start").as("window_start"),
+        col("n"), col("min_value"), col("max_value"),
+        col("avg_value"), col("approx_distinct"))
+
+  /** Streaming validation: the same driver-compiled Catalyst error plan as
+    * the batch path, applied to a stream of interleaved docs. */
+  def validatedStream(stream: DataFrame, schemaJson: String = DocTable.docSchemaJson): DataFrame = {
+    val doc = SchemaDoc.schema(schemaJson)
+    val payloadFields = stream.schema.fields.filter(f => f.name == "doc_id" || f.name == "spans")
+    val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
+    stream
+      .withColumn("errors", ColumnCompiler.errors(doc, payload, StructType(payloadFields)))
+      .withColumn("valid", size(col("errors")) === 0)
+  }
+
+  final case class PartitionCounts(partition: Int, passCount: Long, failCount: Long)
+
+  /** Running per-partition pass/fail counts over a validated stream —
+    * custom state via mapGroupsWithState (the north-rule "per-partition
+    * verdicts", maintained incrementally). */
+  def runningPartitionVerdicts(
+      validated: DataFrame, nPartitions: Int): org.apache.spark.sql.Dataset[PartitionCounts] = {
+    val spark = validated.sparkSession
+    import spark.implicits._
+    validated
+      .select(pmod(col("doc_num"), lit(nPartitions)).cast(IntegerType).as("partition"),
+        col("valid"))
+      .as[(Int, Boolean)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), PartitionCounts](GroupStateTimeout.NoTimeout) {
+        case (part, rows, state: GroupState[(Long, Long)]) =>
+          val (p0, f0) = state.getOption.getOrElse((0L, 0L))
+          var p = p0; var f = f0
+          rows.foreach { case (_, ok) => if (ok) p += 1 else f += 1 }
+          state.update((p, f))
+          PartitionCounts(part, p, f)
+      }
+  }
+}

@@ -25,6 +25,17 @@ class EngineSpec extends AnyFunSuite {
     assert(invalid > 0, "fixture must contain injected violations")
   }
 
+  test("boolean fast path agrees with error-array emptiness on every doc") {
+    val doc = graft.schema.SchemaDoc.schema(DocTable.docSchemaJson)
+    val payloadFields = docs.schema.fields.filter(f => f.name == "doc_id" || f.name == "spans")
+    val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
+    val dt = org.apache.spark.sql.types.StructType(payloadFields)
+    val both = docs.select(
+      ColumnCompiler.valid(doc, payload, dt).as("fast"),
+      (size(ColumnCompiler.errors(doc, payload, dt)) === 0).as("viaErrors"))
+    assert(both.where(col("fast") =!= col("viaErrors")).count() === 0)
+  }
+
   test("violation leaf rows agree between column path and row core") {
     val colViols = ValidationJob.violations(
       ValidationJob.withVerdicts(spark, docs, DocTable.docSchemaJson))

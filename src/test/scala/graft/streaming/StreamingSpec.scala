@@ -1,0 +1,62 @@
+package graft.streaming
+
+import graft.engine.{DocTable, SparkTestSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured-Streaming behavior via MemoryStream: windowed stats with
+  * watermark, streaming validation reusing the compiled batch plan, and
+  * stateful running per-partition verdicts. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("windowed stats with watermark aggregate per tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val stats = StreamingChecks.windowedStats(
+      input.toDF().toDF("ts", "value"), "ts", "value", "1 minute", "2 minutes")
+    val q = stats.writeStream.format("memory").queryName("win_stats")
+      .outputMode("update").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData((t("2026-01-01 00:00:10"), 1.0), (t("2026-01-01 00:00:20"), 3.0),
+        (t("2026-01-01 00:01:10"), 10.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM win_stats ORDER BY window_start").collect()
+      assert(rows.length === 2)
+      assert(rows(0).getAs[Long]("n") === 2)
+      assert(rows(0).getAs[Double]("min_value") === 1.0)
+      assert(rows(0).getAs[Double]("max_value") === 3.0)
+      assert(rows(1).getAs[Long]("n") === 1)
+    } finally q.stop()
+  }
+
+  test("streaming validation applies the compiled plan and running verdicts accumulate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // stream of (doc_id:long, text) synthesized into interleaved docs
+    val input = MemoryStream[(Long, String)]
+    val docsStream = DocTable.fromBase(input.toDF().toDF("doc_id", "text"))
+    val validated = StreamingChecks.validatedStream(docsStream)
+    val running = StreamingChecks.runningPartitionVerdicts(validated, 4)
+    val q = running.toDF().writeStream.format("memory").queryName("run_verdicts")
+      .outputMode("update").start()
+    try {
+      input.addData((1L, "alpha beta gamma"), (2L, "delta words here"))
+      q.processAllAvailable()
+      input.addData((97L, "zero spans doc"), (5L, "more text"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT partition, max(passCount) p, max(failCount) f FROM run_verdicts GROUP BY 1")
+        .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      // doc 97 has zero spans (minItems violation) → partition 97%4=1 fails
+      val totalPass = rows.values.map(_._1).sum
+      val totalFail = rows.values.map(_._2).sum
+      assert(totalPass + totalFail >= 4)
+      assert(totalFail >= 1, s"doc 97 must fail validation: $rows")
+    } finally q.stop()
+  }
+}

@@ -77,6 +77,21 @@ object SparkEntry {
       ).toDF("measure", "score").orderBy("measure")
     }),
 
+    // sketch-based drift (typed Aggregator + mergeable quantile sketch):
+    // reference vs current population of events.value. Rows-only check
+    // (sketch internals are engine-specific).
+    "q_drift_sketch" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val ref = TypedAggregators.sketchColumn(events.where(col("event_id") % 2 === 0), "value")
+      val cur = TypedAggregators.sketchColumn(events.where(col("event_id") % 2 === 1), "value")
+      import s.implicits._
+      (Seq("p10", "p50", "p90").zip(Seq(0.1, 0.5, 0.9)).map { case (n, q) =>
+        (n, math.rint(ref.quantile(q) * 100) / 100, math.rint(cur.quantile(q) * 100) / 100)
+      } :+ (("ks", math.rint(QuantileSketch.ks(ref, cur) * 1e4) / 1e4,
+             math.rint(QuantileSketch.psi(ref, cur) * 1e4) / 1e4))
+      ).toDF("measure", "ref_or_ks", "cur_or_psi").orderBy("measure")
+    }),
+
     // ---- text analysis over documents ----
     "q_text_tokens" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")

@@ -29,8 +29,12 @@ object RowValidator {
       case (d: Double, _)                 => JNum(BigDecimal(d))
       case (d: java.math.BigDecimal, _)   => JNum(BigDecimal(d))
       case (r: Row, st: StructType) =>
-        JObj(st.fields.toVector.zipWithIndex.map { case (f, i) =>
-          f.name -> toJVal(r.get(i), f.dataType)
+        // Columnar mapping: a NULL struct field means the property is ABSENT
+        // (Parquet cannot represent present-null) — must match the Column
+        // compiler's gating exactly, or the two bulk paths diverge on
+        // `required`/`properties` semantics (caught by RandomDocsSpec).
+        JObj(st.fields.toVector.zipWithIndex.collect {
+          case (f, i) if !r.isNullAt(i) => f.name -> toJVal(r.get(i), f.dataType)
         })
       case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
         JArr(seq.toVector.map(toJVal(_, elem)))
@@ -67,11 +71,15 @@ object RowValidator {
   def leafErrors(errors: Vector[Violation]): Vector[Violation] = {
     val parents = Set("properties", "items", "allOf", "anyOf", "dependencies",
       "patternProperties", "additionalProperties", "then", "else", "$ref")
-    val byPath = errors.groupBy(_.path)
     errors.filterNot { v =>
-      parents.contains(v.keyword) &&
+      // applicator summary rows, when any deeper/leaf cause exists
+      (parents.contains(v.keyword) &&
         errors.exists(o => o != v && (o.path.startsWith(v.path + "/") ||
-          (o.path == v.path && !parents.contains(o.keyword))))
+          (o.path == v.path && !parents.contains(o.keyword))))) ||
+      // same-keyword summary at an ancestor path (e.g. `required`'s
+      // object-level row above its per-key rows)
+      errors.exists(o => o.keyword == v.keyword && o.path != v.path &&
+        o.path.startsWith(v.path + "/"))
     } match {
       case Vector() if errors.nonEmpty => errors.take(1) // keep at least one row
       case leaves => leaves

@@ -1,0 +1,102 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, rng}
+
+/** Quantile sketch accuracy + mergeability + the typed aggregators, against
+  * exact computations. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def exactQuantile(xs: Seq[Double], q: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, math.max(0, (q * s.length).toInt)))
+  }
+
+  test("sketch quantiles track exact quantiles on uniform data") {
+    val xs = (0 until 20000).map(i => (i * 37 % 20000).toDouble)
+    val sk = new QuantileSketch(100)
+    xs.foreach(sk.insert)
+    Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99).foreach { q =>
+      val approx = sk.quantile(q)
+      val exact = exactQuantile(xs, q)
+      assert(math.abs(approx - exact) / 20000 < 0.01,
+        s"q=$q approx=$approx exact=$exact")
+    }
+  }
+
+  test("merging partial sketches equals one big sketch (partition merge)") {
+    val xs = (0 until 10000).map(i => math.sin(i).abs * 1000)
+    val whole = new QuantileSketch(100)
+    xs.foreach(whole.insert)
+    val parts = xs.grouped(1000).map { chunk =>
+      val s = new QuantileSketch(100); chunk.foreach(s.insert); s
+    }.reduce(_ merge _)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      assert(math.abs(whole.quantile(q) - parts.quantile(q)) / 1000 < 0.02)
+    }
+    assert(parts.count === xs.length)
+  }
+
+  test("sketch is checkpointable (java-serializable round trip)") {
+    val sk = new QuantileSketch(50)
+    (0 until 5000).foreach(i => sk.insert(i.toDouble))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(sk); oos.close()
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[QuantileSketch]
+    assert(math.abs(back.quantile(0.5) - sk.quantile(0.5)) < 1e-9)
+    assert(back.count === sk.count)
+  }
+
+  test("sketch KS/PSI: same distribution ~0, shifted >> 0") {
+    def sketchOf(xs: Seq[Double]): QuantileSketch = {
+      val s = new QuantileSketch(100); xs.foreach(s.insert); s
+    }
+    val a = sketchOf((0 until 5000).map(i => (i % 100).toDouble))
+    val b = sketchOf((0 until 5000).map(i => ((i * 7) % 100).toDouble))
+    val c = sketchOf((0 until 5000).map(i => (i % 100).toDouble + 50))
+    assert(QuantileSketch.ks(a, b) < 0.05)
+    assert(QuantileSketch.ks(a, c) > 0.2)
+    assert(QuantileSketch.psi(a, b) < 0.05)
+    assert(QuantileSketch.psi(a, c) > 0.3)
+  }
+
+  test("typed stats aggregator matches exact column stats over Spark") {
+    import spark.implicits._
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val stats = events.select(col("value").cast("double")).as[java.lang.Double]
+      .select(TypedAggregators.statsAgg.toColumn).collect()(0)
+    val vals = events.select("value").collect().map(_.getDouble(0))
+    assert(stats.count === vals.length)
+    assert(stats.min === vals.min)
+    assert(stats.max === vals.max)
+    assert(math.abs(stats.mean - vals.sum / vals.length) < 1e-9)
+  }
+
+  test("distributed sketch agg matches local sketch quantiles") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val distributed = TypedAggregators.sketchColumn(events, "value")
+    val vals = events.select("value").collect().map(_.getDouble(0))
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      val exact = exactQuantile(vals.toSeq, q)
+      assert(math.abs(distributed.quantile(q) - exact) <= (vals.max - vals.min) * 0.03,
+        s"q=$q got ${distributed.quantile(q)} exact $exact")
+    }
+  }
+
+  test("property: sketch median within 10% rank error (scalacheck gens)") {
+    val gen = Gen.listOfN(500, Gen.choose(-1e6, 1e6))
+    val seed0 = rng.Seed(42L)
+    (0 until 20).foldLeft(seed0) { (seed, _) =>
+      val xs = gen.pureApply(Gen.Parameters.default, seed)
+      val sk = new QuantileSketch(100)
+      xs.foreach(sk.insert)
+      val med = sk.quantile(0.5)
+      val rank = xs.count(_ <= med).toDouble / xs.length
+      assert(rank >= 0.40 && rank <= 0.60, s"median rank $rank")
+      seed.next
+    }
+  }
+}

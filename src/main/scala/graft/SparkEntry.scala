@@ -92,6 +92,16 @@ object SparkEntry {
       ).toDF("measure", "ref_or_ks", "cur_or_psi").orderBy("measure")
     }),
 
+    // tumbling-window event aggregates (the batch shape of the streaming
+    // stats path; exact SQL both sides)
+    "q_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value")), 4).as("sum_value"),
+          round(avg(col("value")), 6).as("avg_value"))
+        .orderBy("window_start", "event_type")),
+
     // ---- text analysis over documents ----
     "q_text_tokens" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
@@ -276,6 +286,12 @@ object SparkEntry {
           |  SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_count,
           |  SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS cur_count
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      "q_events_window" ->
+        """SELECT date_trunc('hour', ts) AS window_start, event_type,
+          |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+          |  ROUND(AVG(value), 6) AS avg_value
+          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
       "q_text_tokens" ->
         """SELECT doc_id,

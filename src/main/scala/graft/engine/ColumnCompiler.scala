@@ -33,7 +33,9 @@ object ColumnCompiler {
   final case class Unsupported(reason: String) extends RuntimeException(reason)
 
   val errorType: DataType = ArrayType(StructType(Seq(
-    StructField("path", StringType, nullable = false),
+    // path is nullable: dynamic paths concat map keys, which Spark types as
+    // nullable strings
+    StructField("path", StringType, nullable = true),
     StructField("keyword", StringType, nullable = false),
     StructField("message", StringType, nullable = false))), containsNull = false)
 
@@ -319,7 +321,13 @@ object ColumnCompiler {
                   concat(path, lit(s"/$k")), "required", "Required property not in object")
               }
               whenOr(col.isNotNull, concatErrs(perKey), noErrors)
-            case _: MapType => throw Unsupported("required over MapType needs the row core")
+            case MapType(StringType, _, _) =>
+              val reqs = v match { case JArr(r) => r.collect { case JStr(s) => s }; case _ => Vector.empty }
+              val perKey = reqs.map { k =>
+                check(col.isNull || try_element_at(col, lit(k)).isNotNull,
+                  concat(path, lit(s"/$k")), "required", "Required property not in object")
+              }
+              whenOr(col.isNotNull, concatErrs(perKey), noErrors)
             case _ => noErrors
           }
 
@@ -336,7 +344,14 @@ object ColumnCompiler {
                 }
               }
               whenOr(col.isNotNull, concatErrs(perField), noErrors)
-            case (_: MapType, _) => throw Unsupported("properties over MapType needs the row core")
+            case (MapType(StringType, vt, _), props: JObj) =>
+              val perKey = props.fields.map { case (k, subSchema) =>
+                val child = try_element_at(col, lit(k))
+                whenOr(child.isNotNull,
+                  sub(subSchema, child, vt, concat(path, lit(s"/$k"))),
+                  noErrors)
+              }
+              whenOr(col.isNotNull, concatErrs(perKey), noErrors)
             case _ => noErrors
           }
 
@@ -369,7 +384,29 @@ object ColumnCompiler {
                   }
                   whenOr(col.isNotNull, concatErrs(perField), noErrors)
               }
-            case _: MapType => throw Unsupported("additionalProperties over MapType needs the row core")
+            case MapType(StringType, vt, _) =>
+              // entries whose key is neither in `properties` nor matched by
+              // any `patternProperties` regex must satisfy the subschema
+              val named = schema.get("properties") match {
+                case Some(p: JObj) => p.keys; case _ => Vector.empty[String]
+              }
+              val pats = schema.get("patternProperties") match {
+                case Some(p: JObj) => p.keys; case _ => Vector.empty[String]
+              }
+              def isAdditional(k: Column): Column = {
+                val namedHit = if (named.isEmpty) lit(false)
+                  else named.map(n => k === lit(n)).reduce(_ || _)
+                val patHit = if (pats.isEmpty) lit(false)
+                  else pats.map(p => k.rlike(p)).reduce(_ || _)
+                !namedHit && !patHit
+              }
+              val entryErrs = transform(map_entries(col), e => {
+                val k = e.getField("key"); val value = e.getField("value")
+                whenOr(isAdditional(k) && value.isNotNull,
+                  sub(v, value, vt, concat(path, lit("/"), k)),
+                  noErrors)
+              })
+              whenOr(col.isNotNull, flatten(entryErrs).cast(errorType), noErrors)
             case _ => noErrors
           }
 
@@ -411,6 +448,12 @@ object ColumnCompiler {
                   concat(path, lit(s"/$k")), "propertyNames", "propertyNames")
               }
               whenOr(col.isNotNull, concatErrs(perField), noErrors)
+            case MapType(StringType, _, _) =>
+              val keyErrs = transform(map_keys(col), k =>
+                whenOr(size(sub(v, k, StringType, lit(""))) === 0,
+                  noErrors,
+                  errRow(concat(path, lit("/"), k), "propertyNames", "propertyNames")))
+              whenOr(col.isNotNull, flatten(keyErrs).cast(errorType), noErrors)
             case _ => noErrors
           }
 
@@ -420,6 +463,12 @@ object ColumnCompiler {
               val n = v match { case x: JNum => x.v.toInt; case _ => throw Unsupported("bad bound") }
               val cnt = st.fieldNames.map(k =>
                 when(col.getField(k).isNotNull, 1).otherwise(0)).reduce(_ + _)
+              val cond = if (kw == "maxProperties") cnt <= n else cnt >= n
+              check(col.isNull || cond, path, kw,
+                if (kw == "maxProperties") "Max properties exceeded" else "Min properties not reached")
+            case MapType(StringType, _, _) =>
+              val n = v match { case x: JNum => x.v.toInt; case _ => throw Unsupported("bad bound") }
+              val cnt = size(map_keys(col))
               val cond = if (kw == "maxProperties") cnt <= n else cnt >= n
               check(col.isNull || cond, path, kw,
                 if (kw == "maxProperties") "Max properties exceeded" else "Min properties not reached")
@@ -479,7 +528,19 @@ object ColumnCompiler {
                 }
                 whenOr(col.isNotNull, concatErrs(perField), noErrors)
               }.getOrElse(noErrors)
-            case _: MapType => throw Unsupported("patternProperties over MapType needs the row core")
+            case MapType(StringType, vt, _) =>
+              (v match { case p: JObj => Some(p); case _ => None }).map { pats =>
+                val entryErrs = transform(map_entries(col), e => {
+                  val k = e.getField("key"); val value = e.getField("value")
+                  val perPattern = pats.fields.map { case (p, subSchema) =>
+                    whenOr(k.rlike(p) && value.isNotNull,
+                      sub(subSchema, value, vt, concat(path, lit("/"), k)),
+                      noErrors)
+                  }
+                  concatErrs(perPattern)
+                })
+                whenOr(col.isNotNull, flatten(entryErrs).cast(errorType), noErrors)
+              }.getOrElse(noErrors)
             case _ => noErrors
           }
 
@@ -675,7 +736,10 @@ object ColumnCompiler {
               else ok(col.isNull || col.getField(k).isNotNull)
             }
             ok(col.isNull || perKey.reduceOption(_ && _).getOrElse(lit(true)))
-          case _: MapType => throw Unsupported("required over MapType needs the row core")
+          case MapType(StringType, _, _) =>
+            val reqs = v match { case JArr(r) => r.collect { case JStr(s) => s }; case _ => Vector.empty }
+            val perKey = reqs.map(k => ok(col.isNull || try_element_at(col, lit(k)).isNotNull))
+            ok(col.isNull || perKey.reduceOption(_ && _).getOrElse(lit(true)))
           case _ => lit(true)
         }
 
@@ -689,7 +753,12 @@ object ColumnCompiler {
               }
             }
             ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
-          case (_: MapType, _) => throw Unsupported("properties over MapType needs the row core")
+          case (MapType(StringType, vt, _), props: JObj) =>
+            val perKey = props.fields.map { case (k, subSchema) =>
+              val child = try_element_at(col, lit(k))
+              ok(child.isNull || sub(subSchema, child, vt))
+            }
+            ok(col.isNull || perKey.reduceOption(_ && _).getOrElse(lit(true)))
           case _ => lit(true)
         }
 
@@ -710,7 +779,22 @@ object ColumnCompiler {
                 }
             }
             ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
-          case _: MapType => throw Unsupported("additionalProperties over MapType needs the row core")
+          case MapType(StringType, vt, _) =>
+            val named = schema.get("properties") match {
+              case Some(p: JObj) => p.keys; case _ => Vector.empty[String]
+            }
+            val pats = schema.get("patternProperties") match {
+              case Some(p: JObj) => p.keys; case _ => Vector.empty[String]
+            }
+            val allOk = forall(map_entries(col), e => {
+              val k = e.getField("key"); val value = e.getField("value")
+              val namedHit = if (named.isEmpty) lit(false)
+                else named.map(n => k === lit(n)).reduce(_ || _)
+              val patHit = if (pats.isEmpty) lit(false)
+                else pats.map(p => k.rlike(p)).reduce(_ || _)
+              namedHit || patHit || value.isNull || ok(sub(v, value, vt))
+            })
+            ok(col.isNull || allOk)
           case _ => lit(true)
         }
 
@@ -744,6 +828,8 @@ object ColumnCompiler {
             }.toSeq
             val perField = bad.map(k => ok(col.isNull || col.getField(k).isNull))
             ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
+          case MapType(StringType, _, _) =>
+            ok(col.isNull || forall(map_keys(col), k => ok(sub(v, k, StringType))))
           case _ => lit(true)
         }
 
@@ -753,6 +839,10 @@ object ColumnCompiler {
             val n = v match { case x: JNum => x.v.toInt; case _ => return lit(true) }
             val cnt = st.fieldNames.map(k =>
               when(col.getField(k).isNotNull, 1).otherwise(0)).reduce(_ + _)
+            ok(col.isNull || (if (kw == "maxProperties") cnt <= n else cnt >= n))
+          case MapType(StringType, _, _) =>
+            val n = v match { case x: JNum => x.v.toInt; case _ => return lit(true) }
+            val cnt = size(map_keys(col))
             ok(col.isNull || (if (kw == "maxProperties") cnt <= n else cnt >= n))
           case _ => lit(true)
         }
@@ -798,7 +888,16 @@ object ColumnCompiler {
               }
               ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))
             }.getOrElse(lit(true))
-          case _: MapType => throw Unsupported("patternProperties over MapType needs the row core")
+          case MapType(StringType, vt, _) =>
+            (v match { case p: JObj => Some(p); case _ => None }).map { pats =>
+              val allOk = forall(map_entries(col), e => {
+                val k = e.getField("key"); val value = e.getField("value")
+                pats.fields.map { case (p, subSchema) =>
+                  !k.rlike(p) || value.isNull || ok(sub(subSchema, value, vt))
+                }.reduceOption(_ && _).getOrElse(lit(true))
+              })
+              ok(col.isNull || allOk)
+            }.getOrElse(lit(true))
           case _ => lit(true)
         }
 

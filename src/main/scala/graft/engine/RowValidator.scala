@@ -39,7 +39,10 @@ object RowValidator {
       case (seq: scala.collection.Seq[_], ArrayType(elem, _)) =>
         JArr(seq.toVector.map(toJVal(_, elem)))
       case (m: scala.collection.Map[_, _], MapType(_, vt, _)) =>
-        JObj(m.toVector.map { case (k, mv) => k.toString -> toJVal(mv, vt) })
+        // same columnar mapping as struct fields: null value = absent key
+        JObj(m.toVector.collect {
+          case (k, mv) if mv != null => k.toString -> toJVal(mv, vt)
+        })
       case (other, t) =>
         throw new IllegalArgumentException(s"cannot map $other of Spark type $t to JSON")
     }

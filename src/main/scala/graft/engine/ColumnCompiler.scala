@@ -162,7 +162,7 @@ object ColumnCompiler {
             case t if allowed.contains(t) => lit(true)
             case "integer" if allowed.contains("number") => lit(true)
             case "number" if allowed.contains("integer") =>
-              col.cast(DoubleType) === col.cast(LongType).cast(DoubleType)
+              (col.cast(DoubleType) % 1.0) === 0.0 // whole-valued check without ANSI long-overflow
             case _ => lit(false)
           }
           check(
@@ -191,7 +191,7 @@ object ColumnCompiler {
           // Exact-decimal remainder like the reference's BigDecimal path;
           // decimal(38,12) covers the engine's numeric columns.
           val cond = col.isNull ||
-            (pmod(col.cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0))
+            (pmod(col.try_cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0))
           if (jsonType == "number" || jsonType == "integer")
             check(cond, path, "multipleOf", "Failed multipleOf check")
           else noErrors
@@ -596,7 +596,7 @@ object ColumnCompiler {
           case t if allowed.contains(t) => lit(true)
           case "integer" if allowed.contains("number") => lit(true)
           case "number" if allowed.contains("integer") =>
-            col.cast(DoubleType) === col.cast(LongType).cast(DoubleType)
+            (col.cast(DoubleType) % 1.0) === 0.0 // whole-valued check without ANSI long-overflow
           case _ => lit(false)
         }
         ok(when(col.isNull, lit(nullOk)).otherwise(nonNullOk))
@@ -617,7 +617,7 @@ object ColumnCompiler {
         else {
           val m = v match { case n: JNum => n; case _ => return lit(true) }
           ok(col.isNull ||
-            (pmod(col.cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0)))
+            (pmod(col.try_cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0)))
         }
 
       case "maximum" | "minimum" | "exclusiveMaximum" | "exclusiveMinimum" =>

@@ -86,6 +86,18 @@ object ColumnCompiler {
     case other => throw Unsupported(s"no JSON mapping for Spark type $other")
   }
 
+  /** multipleOf with the reference's exact-decimal semantics: floating
+    * columns go through the native [[graft.engine.expressions.ExactMultipleOf]]
+    * expression (BigDecimal remainder, codegen'd); integral/decimal columns
+    * use exact decimal pmod. */
+  private def multipleOfCond(col: Column, dt: DataType, m: JNum): Column = dt match {
+    case FloatType | DoubleType =>
+      graft.engine.expressions.GraftFunctions.exactMultipleOf(col, lit(m.v.toDouble))
+    case _ =>
+      pmod(col.try_cast(DecimalType(38, 12)),
+        lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0)
+  }
+
   private def literal(v: JVal): Column = v match {
     case JStr(s)  => lit(s)
     case JNum(n)  => if (n.isWhole && n.abs < BigDecimal(Long.MaxValue)) lit(n.toLong) else lit(n.toDouble)
@@ -190,10 +202,9 @@ object ColumnCompiler {
           val m = v match { case n: JNum => n; case _ => throw Unsupported("bad multipleOf") }
           // Exact-decimal remainder like the reference's BigDecimal path;
           // decimal(38,12) covers the engine's numeric columns.
-          val cond = col.isNull ||
-            (pmod(col.try_cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0))
           if (jsonType == "number" || jsonType == "integer")
-            check(cond, path, "multipleOf", "Failed multipleOf check")
+            check(col.isNull || multipleOfCond(col, dt, m), path,
+              "multipleOf", "Failed multipleOf check")
           else noErrors
 
         case "maximum" | "minimum" | "exclusiveMaximum" | "exclusiveMinimum" =>
@@ -616,8 +627,7 @@ object ColumnCompiler {
         if (jsonType != "number" && jsonType != "integer") lit(true)
         else {
           val m = v match { case n: JNum => n; case _ => return lit(true) }
-          ok(col.isNull ||
-            (pmod(col.try_cast(DecimalType(38, 12)), lit(m.v.underlying).cast(DecimalType(38, 12))) === lit(0)))
+          ok(col.isNull || multipleOfCond(col, dt, m))
         }
 
       case "maximum" | "minimum" | "exclusiveMaximum" | "exclusiveMinimum" =>

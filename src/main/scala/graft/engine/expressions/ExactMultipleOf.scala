@@ -1,0 +1,88 @@
+package graft.engine.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{BooleanType, DataType, DoubleType}
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Exact-decimal arithmetic helper for [[ExactMultipleOf]] (also callable
+  * from generated code, hence the plain static-friendly object). */
+object GraftMath {
+  /** draft-7 `multipleOf` with the reference's exact-decimal semantics
+    * (`validate.cljc:237-242`: BigDecimal remainder == 0). `valueOf` uses the
+    * double's shortest decimal rendering, matching how the JSON literal was
+    * written — so 0.0075 is a multiple of 0.0001 even though neither is
+    * representable in binary. */
+  def isMultipleOf(x: Double, m: Double): Boolean =
+    m != 0.0 && !x.isNaN && !x.isInfinity && !m.isNaN && !m.isInfinity &&
+      java.math.BigDecimal.valueOf(x)
+        .remainder(java.math.BigDecimal.valueOf(m))
+        .compareTo(java.math.BigDecimal.ZERO) == 0
+}
+
+/** Native Catalyst expression for exact `multipleOf` — participates in
+  * whole-stage codegen via [[doGenCode]] (a static call into [[GraftMath]]),
+  * unlike a Scala UDF which would box + break the codegen span. Preference
+  * order per the engine's design rules: builtin composition, then a custom
+  * `Expression` like this one, then UDF.
+  */
+case class ExactMultipleOf(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == DoubleType && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double, double), got (${left.dataType}, ${right.dataType})")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_exact_multiple_of"
+
+  override protected def nullSafeEval(x: Any, m: Any): Any =
+    GraftMath.isMultipleOf(x.asInstanceOf[Double], m.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, m) =>
+      s"graft.engine.expressions.GraftMath.isMultipleOf($x, $m)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ExactMultipleOf =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+
+  /** Column-level entry (usable without any registration). */
+  def exactMultipleOf(x: Column, m: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ExactMultipleOf(
+        org.apache.spark.sql.GraftColumnBridge.expression(x.cast(DoubleType)),
+        org.apache.spark.sql.GraftColumnBridge.expression(m.cast(DoubleType))))
+
+  private val info = new ExpressionInfo(
+    classOf[ExactMultipleOf].getName, "graft_exact_multiple_of")
+
+  private val builder: Seq[Expression] => Expression = {
+    case Seq(x, m) => ExactMultipleOf(x, m)
+    case other => throw new IllegalArgumentException(
+      s"graft_exact_multiple_of expects 2 arguments, got ${other.length}")
+  }
+
+  /** Register `graft_exact_multiple_of` in an existing session (SQL-callable). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_exact_multiple_of"), info, builder)
+}
+
+/** `--conf spark.sql.extensions=graft.engine.expressions.GraftExtensions`
+  * injects the function at session build (the spark-submit path). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_exact_multiple_of"),
+      new ExpressionInfo(classOf[ExactMultipleOf].getName, "graft_exact_multiple_of"),
+      (args: Seq[Expression]) => ExactMultipleOf(args(0), args(1))))
+}

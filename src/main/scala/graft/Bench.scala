@@ -83,8 +83,8 @@ object Bench {
       val s = session(c)
       try {
         validationRun(s, table) // warm
-        val runs = (1 to 2).map(_ => validationRun(s, table))
-        val (n, secs) = runs.minBy(_._2) // best-of-2 after warm: JIT/GC noise down
+        val runs = (1 to 3).map(_ => validationRun(s, table))
+        val (n, secs) = runs.minBy(_._2) // best-of-3 after warm: JIT/GC noise down
         n / secs
       } finally s.stop()
     }

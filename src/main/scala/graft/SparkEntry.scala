@@ -188,6 +188,23 @@ object SparkEntry {
       Similarity.cosineNearDups(emb.unionByName(twins), threshold = 0.99, bits = 4)
     }),
 
+    // mixed-kind corpus validated via the broadcast schema registry
+    // (per-row schema dispatch; rows-only check — row-core semantics are
+    // oracle-gated via the other validation queries)
+    "q_registry_verdicts" -> ((s, dir) => {
+      val registry = SchemaRegistry.compile(Map(
+        "titleish" -> """{"properties":{"payload":{"type":"string","maxLength":24}},"required":["payload"]}""",
+        "numericid" -> """{"properties":{"payload":{"pattern":"^[0-9]+$"}},"required":["payload"]}"""))
+      val corpus = s.read.parquet(s"$dir/documents.parquet").select(
+        col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("titleish")).otherwise(lit("numericid")).as("schema_name"),
+        when(col("doc_id") % 2 === 0, substring(col("text"), 1, 30))
+          .otherwise(col("doc_id").cast("string")).as("payload"))
+      SchemaRegistry.validateWith(s, corpus, registry, "schema_name")
+        .select(col("doc_id"), col("schema_name"), col("valid"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing (decode stage stubbed, shape real) ----
     "q_media_meta" -> ((s, dir) =>
       MediaOps.syntheticMedia(s)

@@ -198,7 +198,8 @@ object SparkEntry {
       val corpus = s.read.parquet(s"$dir/documents.parquet").select(
         col("doc_id"),
         when(col("doc_id") % 2 === 0, lit("titleish")).otherwise(lit("numericid")).as("schema_name"),
-        when(col("doc_id") % 2 === 0, substring(col("text"), 1, 30))
+        when(col("doc_id") % 2 === 0,
+          col("text").substr(lit(1), (col("doc_id") % 30 + 10).cast("int")))
           .otherwise(col("doc_id").cast("string")).as("payload"))
       SchemaRegistry.validateWith(s, corpus, registry, "schema_name")
         .select(col("doc_id"), col("schema_name"), col("valid"))

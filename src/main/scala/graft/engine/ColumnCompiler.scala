@@ -150,6 +150,35 @@ object ColumnCompiler {
     // columnar data (no base64 columns in the typed mapping)
     "contentEncoding", "contentMediaType")
 
+  /** True when `schema` is trivially satisfied for a NON-NULL value of
+    * Spark type `dt` (the gating contexts — properties children, item
+    * fields — guarantee non-null). Skipping such subschemas keeps their
+    * columns out of the plan entirely, which lets nested-schema pruning
+    * drop them from the parquet scan: at 10^12 rows the win is not the
+    * skipped comparison but the bytes never read. */
+  private def gatedStaticTrue(schema: JVal, dt: DataType): Boolean = schema match {
+    case JBool(true) | JNull => true
+    case o: JObj if o.has("$ref") => false
+    case o: JObj =>
+      o.fields.forall { case (kw, v) =>
+        kw match {
+          case k if inertKeywords.contains(k) => true
+          case "type" =>
+            val allowed = v match {
+              case JStr(t)     => Seq(t)
+              case JArr(items) => items.collect { case JStr(x) => x }
+              case _           => Seq.empty
+            }
+            try {
+              val t = jsonTypeOf(dt)
+              allowed.contains(t) || (t == "integer" && allowed.contains("number"))
+            } catch { case _: Unsupported => false }
+          case _ => false
+        }
+      }
+    case _ => false
+  }
+
   private def compileObj(
       schema: JObj, col: Column, dt: DataType, path: Column,
       doc: SchemaDoc, seen: Set[String]): Column = {
@@ -346,12 +375,15 @@ object ColumnCompiler {
           (dt, v) match {
             case (st: StructType, props: JObj) =>
               val perField = props.fields.flatMap { case (k, subSchema) =>
-                st.fields.find(_.name == k).map { f =>
-                  val child = col.getField(k)
-                  // gated on presence (null = absent under the columnar mapping)
-                  whenOr(child.isNotNull,
-                    sub(subSchema, child, f.dataType, concat(path, lit(s"/$k"))),
-                    noErrors)
+                st.fields.find(_.name == k).collect {
+                  // statically-true children never enter the plan, so the
+                  // scan can prune their columns
+                  case f if !gatedStaticTrue(subSchema, f.dataType) =>
+                    val child = col.getField(k)
+                    // gated on presence (null = absent under the columnar mapping)
+                    whenOr(child.isNotNull,
+                      sub(subSchema, child, f.dataType, concat(path, lit(s"/$k"))),
+                      noErrors)
                 }
               }
               whenOr(col.isNotNull, concatErrs(perField), noErrors)
@@ -757,9 +789,10 @@ object ColumnCompiler {
         (dt, v) match {
           case (st: StructType, props: JObj) =>
             val perField = props.fields.flatMap { case (k, subSchema) =>
-              st.fields.find(_.name == k).map { f =>
-                val child = col.getField(k)
-                ok(child.isNull || sub(subSchema, child, f.dataType))
+              st.fields.find(_.name == k).collect {
+                case f if !gatedStaticTrue(subSchema, f.dataType) =>
+                  val child = col.getField(k)
+                  ok(child.isNull || sub(subSchema, child, f.dataType))
               }
             }
             ok(col.isNull || perField.reduceOption(_ && _).getOrElse(lit(true)))

@@ -36,6 +36,14 @@ class EngineSpec extends AnyFunSuite {
     assert(both.where(col("fast") =!= col("viaErrors")).count() === 0)
   }
 
+  test("verdict-only fast mode matches the full path verdicts") {
+    val full = ValidationJob.withVerdicts(spark, docs, DocTable.docSchemaJson)
+      .select("doc_num", "valid")
+    val fast = ValidationJob.withVerdictsOnly(spark, docs, DocTable.docSchemaJson)
+      .select(col("doc_num"), col("valid").as("fast_valid"))
+    assert(full.join(fast, "doc_num").where(col("valid") =!= col("fast_valid")).count() === 0)
+  }
+
   test("violation leaf rows agree between column path and row core") {
     val colViols = ValidationJob.violations(
       ValidationJob.withVerdicts(spark, docs, DocTable.docSchemaJson))

@@ -75,6 +75,15 @@ object Bench {
       name -> secs
     }
     val (docsN, headlineSecs) = validationRun(spark0, table)
+    // verdict-only monitoring mode (boolean plan, no error construction)
+    val verdictOnlySecs = {
+      def run(): Double = time {
+        val docs = spark0.read.parquet(table)
+        ValidationJob.withVerdictsOnly(spark0, docs, DocTable.docSchemaJson)
+          .agg(count(lit(1)), sum(when(col("valid"), 0L).otherwise(1L))).collect()
+      }._2
+      run(); (1 to 2).map(_ => run()).min
+    }
     spark0.stop()
 
     // -- N vs 4N scaling evidence (same job, same input; no real cluster in
@@ -101,6 +110,7 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","validated_docs":$docsN,""" +
       s""""docs_per_sec":${f"${docsN / headlineSecs}%.0f"},""" +
+      s""""docs_per_sec_verdict_only":${f"${docsN / verdictOnlySecs}%.0f"},""" +
       dps.toSeq.sorted.map { case (c, v) => s""""docs_per_sec_local$c":${f"$v%.0f"}""" }.mkString(",") + "," +
       s""""scaling_efficiency_4_to_16":${f"$eff4to16%.3f"},""" +
       s""""scaling_efficiency_8_to_32":${f"$eff8to32%.3f"},""" +

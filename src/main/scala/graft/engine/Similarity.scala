@@ -29,11 +29,12 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = broadcast(queries.select(
-      col(idCol).as("query_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"))
-    val scored = c.crossJoin(q)
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+      col(idCol).as("id_a"), col(vecCol).as("vec_a")))
+    val c = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val scored = scorePairs(
+      c.crossJoin(q).where(col("id_b") =!= col("id_a"))
+        .select("id_a", "id_b", "vec_a", "vec_b"))
+      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -41,6 +42,37 @@ object Similarity {
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
+  }
+
+  /** Plain-loop cosine for typed projections (HOF `aggregate` is
+    * CodegenFallback — interpreted per element; see the minhash signature
+    * stage for the same ~100× lesson). */
+  private[engine] def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Score (id_a, id_b, vec_a, vec_b) pairs with a typed projection;
+    * returns (id_a, id_b, sim) with sim rounded to 6dp. */
+  private def scorePairs(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    pairs.select(col("id_a"), col("id_b"),
+        col("vec_a").cast("array<float>"), col("vec_b").cast("array<float>"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (a, b, va, vb) =>
+        // HALF_UP to match SQL ROUND (both Spark's round() and DuckDB's)
+        (a, b, new java.math.BigDecimal(cosineArrays(va, vb))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      })
+      .toDF("id_a", "id_b", "sim")
   }
 
   /** Sign-random-projection bucket id: `bits` hyperplanes with deterministic
@@ -62,13 +94,14 @@ object Similarity {
   def annTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("c_vec"),
+    val c = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
       srpBucket(col(vecCol), bits).as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+    val q = broadcast(queries.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
       srpBucket(col(vecCol), bits).as("bucket")))
-    val scored = c.join(q, "bucket")
-      .where(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(cosine(col("q_vec"), col("c_vec")), 6))
+    val scored = scorePairs(
+      c.join(q, "bucket").where(col("id_b") =!= col("id_a"))
+        .select("id_a", "id_b", "vec_a", "vec_b"))
+      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
@@ -86,13 +119,14 @@ object Similarity {
     val withBucket = corpus.select(
       col(idCol).as("id"), col(vecCol).as("vec"),
       srpBucket(col(vecCol), bits).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, Seq("bucket"))
+    val pairs = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
-      .withColumn("sim", round(cosine(col("vec_a"), col("vec_b")), 6))
+      .select("id_a", "id_b", "vec_a", "vec_b")
+    scorePairs(pairs)
       .where(col("sim") >= threshold)
-      .select("id_a", "id_b", "sim")
       .orderBy("id_a", "id_b")
   }
 }

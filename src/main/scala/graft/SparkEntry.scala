@@ -264,9 +264,9 @@ object SparkEntry {
            |  FROM gdocs d LEFT JOIN span_viol s USING (doc_num))
            |SELECT CAST(doc_num % 32 AS INTEGER) AS partition,
            |  COUNT(*) AS docs,
-           |  SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS pass_count,
-           |  SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS fail_count,
-           |  SUM(n) AS violation_count
+           |  CAST(SUM(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pass_count,
+           |  CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS fail_count,
+           |  CAST(SUM(n) AS BIGINT) AS violation_count
            |FROM doc_v GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_dedup_exact" ->
@@ -285,24 +285,24 @@ object SparkEntry {
       "q_stats_profile" ->
         """SELECT * FROM (
           |  SELECT 'event_type' AS "column", COUNT(*) AS total_count,
-          |    SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_count,
+          |    CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
           |    CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
           |    COUNT(DISTINCT event_type) AS distinct_count FROM events
           |  UNION ALL
           |  SELECT 'user_id', COUNT(*),
-          |    SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+          |    CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |    MIN(CAST(user_id AS DOUBLE)), MAX(CAST(user_id AS DOUBLE)),
           |    COUNT(DISTINCT user_id) FROM events
           |  UNION ALL
           |  SELECT 'value', COUNT(*),
-          |    SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END),
+          |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |    MIN(value), MAX(value), COUNT(DISTINCT value) FROM events
           |) ORDER BY "column"""".stripMargin,
 
       "q_drift_bins" ->
         """SELECT CAST(FLOOR(value / 10.0) AS INTEGER) AS bin,
-          |  SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_count,
-          |  SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS cur_count
+          |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ref_count,
+          |  CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS cur_count
           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
       "q_events_window" ->
@@ -414,7 +414,7 @@ object SparkEntry {
           |SELECT CASE WHEN bytes % 3 = 0 THEN 'image/png'
           |            WHEN bytes % 3 = 1 THEN 'audio/wav'
           |            ELSE 'video/mp4' END AS mime,
-          |  COUNT(*) AS n, SUM(bytes) AS total_bytes
+          |  COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
           |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin
     )
   }

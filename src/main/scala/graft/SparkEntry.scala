@@ -61,20 +61,19 @@ object SparkEntry {
         s.read.parquet(s"$dir/events.parquet"),
         "value", col("event_id") % 2 === 0, 10.0)),
 
-    // drift scores over the binned counts; rounded so the rows are stable.
-    // No oracleSql entry: PSI/KS are engine-side scalar reductions (driver
-    // records a rows-only check).
+    // drift scores over the binned counts; HALF_UP 6dp so the DuckDB mirror
+    // (same smoothing + running-ECDF formulas in SQL) rounds identically.
     "q_drift_scores" -> ((s, dir) => {
       val bins = Checks.driftBins(
         s.read.parquet(s"$dir/events.parquet"),
         "value", col("event_id") % 2 === 0, 50.0).collect()
       val ref = bins.map(_.getAs[Long]("ref_count")).toSeq
       val cur = bins.map(_.getAs[Long]("cur_count")).toSeq
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       import s.implicits._
-      Seq(
-        ("psi", math.rint(Drift.psi(ref, cur) * 1e6) / 1e6),
-        ("ks", math.rint(Drift.ks(ref, cur) * 1e6) / 1e6)
-      ).toDF("measure", "score").orderBy("measure")
+      Seq(("psi", r6(Drift.psi(ref, cur))), ("ks", r6(Drift.ks(ref, cur))))
+        .toDF("measure", "score").orderBy("measure")
     }),
 
     // sketch-based drift (typed Aggregator + mergeable quantile sketch):
@@ -185,12 +184,12 @@ object SparkEntry {
       val twins = emb.where(col("vec_id") % 100 === 0)
         .withColumn("vec_id", col("vec_id") + 1000000)
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
-      Similarity.cosineNearDups(emb.unionByName(twins), threshold = 0.99, bits = 4)
+      Similarity.cosineNearDups(emb.unionByName(twins), threshold = 0.99, bits = 4,
+        maxBucket = 512)
     }),
 
     // mixed-kind corpus validated via the broadcast schema registry
-    // (per-row schema dispatch; rows-only check — row-core semantics are
-    // oracle-gated via the other validation queries)
+    // (per-row schema dispatch, column-compiled when expressible)
     "q_registry_verdicts" -> ((s, dir) => {
       val registry = SchemaRegistry.compile(Map(
         "titleish" -> """{"properties":{"payload":{"type":"string","maxLength":24}},"required":["payload"]}""",
@@ -223,6 +222,19 @@ object SparkEntry {
   /** DuckDB mirrors. Column names must match the Spark outputs exactly. */
   def oracleSql: Map[String, String] = {
     val W = DocTable.sqlWith
+    // SRP bucket assignment over dim-64 embeddings, mirrored from the same
+    // deterministic sign matrix the engine uses (Similarity.srpSigns).
+    val srpSigns4 = Similarity.srpSignsSqlLiteral(bits = 4, dim = 64)
+    def srpBucketSql(vec: String) =
+      s"""list_sum([CASE WHEN list_sum([CAST($vec[i] AS DOUBLE) * m[j][i]
+         |  for i in range(1, len($vec) + 1)]) > 0
+         |  THEN (CAST(1 AS BIGINT) << (j - 1)) ELSE 0 END
+         |  for j in range(1, 5)])""".stripMargin
+    val cosineLateral =
+      """LATERAL (SELECT
+        |  list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) AS dot,
+        |  list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) AS qq,
+        |  list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(c.embedding) + 1)]) AS cc) t""".stripMargin
     Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
@@ -406,6 +418,70 @@ object SparkEntry {
           |  FROM cos)
           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_drift_scores" ->
+        """WITH bins AS (
+          |  SELECT CAST(FLOOR(value / 50.0) AS INTEGER) AS bin,
+          |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS r,
+          |    CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS c
+          |  FROM events GROUP BY 1),
+          |tot AS (SELECT CAST(SUM(r) AS DOUBLE) AS rt, CAST(SUM(c) AS DOUBLE) AS ct,
+          |               CAST(COUNT(*) AS DOUBLE) AS n FROM bins),
+          |psi AS (
+          |  SELECT SUM(((c + 0.5) / (ct + 0.5 * n) - (r + 0.5) / (rt + 0.5 * n)) *
+          |             LN(((c + 0.5) / (ct + 0.5 * n)) / ((r + 0.5) / (rt + 0.5 * n)))) AS v
+          |  FROM bins, tot),
+          |cum AS (
+          |  SELECT SUM(r / GREATEST(rt, 1.0)) OVER (ORDER BY bin) AS ra,
+          |         SUM(c / GREATEST(ct, 1.0)) OVER (ORDER BY bin) AS ca
+          |  FROM bins, tot),
+          |ks AS (SELECT MAX(ABS(ra - ca)) AS v FROM cum)
+          |SELECT 'ks' AS measure, ROUND((SELECT v FROM ks), 6) AS score
+          |UNION ALL
+          |SELECT 'psi', ROUND((SELECT v FROM psi), 6)
+          |ORDER BY measure""".stripMargin,
+
+      "q_ann_topk" ->
+        s"""WITH s AS (SELECT $srpSigns4 AS m),
+           |b AS (SELECT vec_id, embedding, ${srpBucketSql("embedding")} AS bucket
+           |      FROM embeddings, s),
+           |cos AS (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |    ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id, $cosineLateral
+           |  WHERE q.vec_id < 5),
+           |ranked AS (
+           |  SELECT query_id, neighbor_id, sim,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+           |  FROM cos)
+           |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+           |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+      "q_cosine_neardups" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, [x * CAST(1.0005 AS REAL) for x in embedding]
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT $srpSigns4 AS m),
+           |b AS (SELECT vec_id, embedding, ${srpBucketSql("embedding")} AS bucket
+           |      FROM corpus, s),
+           |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 512),
+           |pairs AS (
+           |  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           |    ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+           |  FROM b q JOIN ok USING (bucket)
+           |       JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id, $cosineLateral)
+           |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+      "q_registry_verdicts" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 2 = 0 THEN 'titleish' ELSE 'numericid' END AS schema_name,
+          |  CASE WHEN doc_id % 2 = 0
+          |       THEN text IS NOT NULL
+          |            AND len(substr(text, 1, CAST(doc_id % 30 + 10 AS INTEGER))) <= 24
+          |       ELSE regexp_matches(CAST(doc_id AS VARCHAR), '^[0-9]+$') END AS valid
+          |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_media_meta" ->
         """WITH cat AS (

@@ -10,11 +10,18 @@ import org.apache.spark.sql.expressions.Window
   * bucketed variant as the scale path (candidates only within matching
   * buckets; at 10^12 rows brute force is a non-starter, buckets cut the
   * join fan-out by ~2^bits).
+  *
+  * All per-element numeric work runs in typed projections (plain JVM loops):
+  * Spark's higher-order functions (`aggregate`/`zip_with`) are
+  * CodegenFallback — interpreted per element, ~100× slower — the same lesson
+  * as [[Dedup]]'s minhash signature stage.
   */
 object Similarity {
 
   /** Cosine similarity between two float-array columns (double accumulation,
-    * sequential fold ⇒ deterministic). */
+    * sequential fold ⇒ deterministic). Interpreted HOF — fine for small
+    * frames (e.g. per-media features); use [[bruteForceTopK]]'s typed path
+    * for bulk scoring. */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast(DoubleType) * q.cast(DoubleType)),
@@ -31,22 +38,23 @@ object Similarity {
     val q = broadcast(queries.select(
       col(idCol).as("id_a"), col(vecCol).as("vec_a")))
     val c = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    val scored = scorePairs(
+    rankTopK(scorePairs(
       c.crossJoin(q).where(col("id_b") =!= col("id_a"))
-        .select("id_a", "id_b", "vec_a", "vec_b"))
-      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
+        .select("id_a", "id_b", "vec_a", "vec_b")), k)
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("neighbor_id").asc)
     scored
+      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "sim")
       .orderBy("query_id", "rank")
   }
 
-  /** Plain-loop cosine for typed projections (HOF `aggregate` is
-    * CodegenFallback — interpreted per element; see the minhash signature
-    * stage for the same ~100× lesson). */
+  /** Plain-loop cosine for typed projections. */
   private[engine] def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -75,18 +83,53 @@ object Similarity {
       .toDF("id_a", "id_b", "sim")
   }
 
-  /** Sign-random-projection bucket id: `bits` hyperplanes with deterministic
-    * ±1 components derived from xxhash64(plane, dim). */
-  def srpBucket(vec: Column, bits: Int = 8): Column = {
-    val planes = (0 until bits).map { j =>
-      val dotProj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast(DoubleType) *
-            when(pmod(xxhash64(lit(j), i), lit(2)) === 0, 1.0).otherwise(-1.0)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotProj > 0, shiftleft(lit(1L), j)).otherwise(0L)
+  /** Deterministic ±1 hyperplane components for sign-random-projection LSH:
+    * `signs(j)(i)` is the i-th component of hyperplane j (splitmix-style
+    * integer hash — no RNG state, so driver, executors, and the SQL-literal
+    * oracle mirror all agree). */
+  def srpSigns(bits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(bits, dim) { (j, i) =>
+      var z = j.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L +
+        0x94D049BB133111EBL
+      z ^= (z >>> 31); z *= 0xBF58476D1CE4E5B9L; z ^= (z >>> 27)
+      if ((z & 1L) == 0L) 1.0 else -1.0
     }
-    planes.reduce((a, b) => a + b)
+
+  /** The sign matrix as a DuckDB nested-list literal, so oracle SQL can
+    * recompute buckets independently (`s[j][i]`, 1-based). */
+  def srpSignsSqlLiteral(bits: Int, dim: Int): String =
+    srpSigns(bits, dim)
+      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** Typed-projection SRP bucketing: (id, vec, bucket) where bucket bit j =
+    * sign(vec · hyperplane_j). One narrow codegen-free-but-compiled map —
+    * no interpreted lambdas, no shuffle. */
+  private[engine] def srpFrame(
+      df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        var signs: Array[Array[Double]] = null
+        iter.map { case (id, vec) =>
+          if (signs == null || signs(0).length < vec.length)
+            signs = srpSigns(bits, vec.length)
+          var bucket = 0L
+          var j = 0
+          while (j < bits) {
+            val row = signs(j)
+            var dot = 0.0; var i = 0
+            while (i < vec.length) { dot += vec(i).toDouble * row(i); i += 1 }
+            if (dot > 0) bucket |= (1L << j)
+            j += 1
+          }
+          (id, vec, bucket)
+        }
+      }
+      .toDF("id", "vec", "bucket")
   }
 
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's SRP
@@ -94,34 +137,36 @@ object Similarity {
   def annTopK(
       corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
-      srpBucket(col(vecCol), bits).as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
-      srpBucket(col(vecCol), bits).as("bucket")))
-    val scored = scorePairs(
+    val c = srpFrame(corpus, idCol, vecCol, bits)
+      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    val q = broadcast(srpFrame(queries, idCol, vecCol, bits)
+      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket")))
+    rankTopK(scorePairs(
       c.join(q, "bucket").where(col("id_b") =!= col("id_a"))
-        .select("id_a", "id_b", "vec_a", "vec_b"))
-      .withColumnRenamed("id_a", "query_id").withColumnRenamed("id_b", "neighbor_id")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "sim")
-      .orderBy("query_id", "rank")
+        .select("id_a", "id_b", "vec_a", "vec_b")), k)
   }
 
   /** Embedding-cosine near-duplicate pairs (bucketed): pairs with
-    * cosine ≥ threshold inside the same SRP bucket. */
+    * cosine ≥ threshold inside the same SRP bucket.
+    *
+    * Skew guard: one degenerate bucket (e.g. many near-zero or boilerplate
+    * embeddings landing on the same side of every hyperplane) would make the
+    * self-join O(bucket²); buckets above `maxBucket` rows are dropped, same
+    * cap discipline as [[Dedup.minhashPairs]]. Observability via
+    * [[srpSkewedBuckets]] — computed from the same srpFrame bucketing. */
   def cosineNearDups(
       corpus: DataFrame, threshold: Double, bits: Int = 6,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val withBucket = corpus.select(
-      col(idCol).as("id"), col(vecCol).as("vec"),
-      srpBucket(col(vecCol), bits).as("bucket"))
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame = {
+    val withBucket = srpFrame(corpus, idCol, vecCol, bits)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withBucket.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = withBucket.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
+    val smallBuckets = withBucket.groupBy("bucket")
+      .agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket)
+      .select("bucket")
+    val pruned = withBucket.join(smallBuckets, Seq("bucket"))
+    val a = pruned.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
+    val b = pruned.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "vec_a", "vec_b")
@@ -129,4 +174,15 @@ object Similarity {
       .where(col("sim") >= threshold)
       .orderBy("id_a", "id_b")
   }
+
+  /** Count of SRP buckets above the [[cosineNearDups]] skew cap — derived
+    * from the same srpFrame hashing that does the pruning, so the metric
+    * describes the buckets actually dropped. */
+  def srpSkewedBuckets(
+      corpus: DataFrame, bits: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): Long =
+    srpFrame(corpus, idCol, vecCol, bits)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).count()
 }

@@ -205,7 +205,7 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing (decode stage stubbed, shape real) ----
+    // ---- multimodal: real PNG/WAV decode, synthetic-container video ----
     "q_media_meta" -> ((s, dir) =>
       MediaOps.syntheticMedia(s)
         .groupBy("mime")
@@ -491,7 +491,31 @@ object SparkEntry {
           |            WHEN bytes % 3 = 1 THEN 'audio/wav'
           |            ELSE 'video/mp4' END AS mime,
           |  COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
-          |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin
+          |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // The oracle recomputes expected metadata from the construction
+      // formulas (MediaOps.pngDims/wavFrames/videoDims) while the Spark side
+      // actually DECODES the payload bytes (javax.imageio / RIFF / GFTV
+      // header) — a genuine independent check of the decode stage.
+      "q_media_features" ->
+        """WITH cat AS (
+          |  SELECT i, i * 1024 + 64 AS bytes, 'm-' || CAST(i AS VARCHAR) AS media_ref
+          |  FROM range(0, 200) t(i))
+          |SELECT media_ref,
+          |  CASE WHEN bytes % 3 = 0 THEN 'image/png'
+          |       WHEN bytes % 3 = 1 THEN 'audio/wav'
+          |       ELSE 'video/mp4' END AS mime,
+          |  CAST(CASE WHEN bytes % 3 = 0 THEN 8 + i % 24
+          |            WHEN bytes % 3 = 1 THEN 0
+          |            ELSE 16 + (i * 3) % 48 END AS INTEGER) AS width,
+          |  CAST(CASE WHEN bytes % 3 = 0 THEN 8 + (i * 7) % 24
+          |            WHEN bytes % 3 = 1 THEN 0
+          |            ELSE 16 + (i * 5) % 48 END AS INTEGER) AS height,
+          |  CAST(CASE WHEN bytes % 3 = 0 THEN 1
+          |            WHEN bytes % 3 = 1 THEN 32 + i % 64
+          |            ELSE 1 + i % 30 END AS INTEGER) AS frames,
+          |  1.0 AS self_sim
+          |FROM cat ORDER BY media_ref""".stripMargin
     )
   }
 }

@@ -1,18 +1,27 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Multimodal plumbing: media payloads as opaque `binary` columns with typed
-  * metadata, and a batched decode/feature-extract stage.
+  * metadata, and a batched decode/feature-extract stage
+  * (`mapPartitions` — the Scala analogue of a Pandas-UDF `mapInPandas`
+  * stage: batched rows in, batched feature rows out).
   *
-  * The decode itself is a clearly-marked STUB (`StubDecoder`) — no
-  * image/audio codecs ship in this container — but the Spark-side shape is
-  * real and tested: schema, batch iteration (`mapPartitions`, the Scala
-  * analogue of `mapInPandas` batches), partitioning by media_ref so one
-  * executor decodes one media group, and the output feature schema the
-  * downstream similarity ops consume.
+  * Decode is REAL where the JDK has a codec: PNG payloads are actual PNG
+  * files (encoded and decoded with `javax.imageio`), WAV payloads are actual
+  * RIFF/WAVE PCM files (header written and parsed per the RIFF spec). Video
+  * has no codec in this container, so payloads use a synthetic "GFTV"
+  * container whose header carries width/height/frames — parsing it is the
+  * honest analogue of reading mp4 metadata boxes (real pipelines get video
+  * dimensions from container metadata without decoding frames), but the
+  * format itself is a STUB stand-in for mp4.
+  *
+  * Construction parameters (dimensions, sample counts) are pure functions of
+  * the catalog index, so the decode stage is independently oracle-checkable:
+  * DuckDB recomputes the expected metadata from the same formulas while
+  * Spark actually decodes the bytes.
   */
 object MediaOps {
 
@@ -24,39 +33,125 @@ object MediaOps {
       StructField("bytes", LongType, nullable = false),
       StructField("source", StringType, nullable = false))), nullable = false)))
 
-  /** Deterministic synthetic media blobs for the catalog: payload bytes are
-    * a repeated md5 of the ref — opaque, stable, varied sizes. */
-  def syntheticMedia(spark: SparkSession): DataFrame = {
-    DocTable.mediaCatalog(spark).select(
-      col("media_ref"),
-      when(pmod(col("bytes"), lit(3)) === 0, lit("image/png"))
-        .when(pmod(col("bytes"), lit(3)) === 1, lit("audio/wav"))
-        .otherwise(lit("video/mp4")).as("mime"),
-      to_binary(repeat(md5(col("media_ref")), 8), lit("hex")).as("payload"),
-      struct(col("bytes").as("bytes"), lit("synthetic").as("source")).as("meta"))
+  // --- deterministic payload construction (catalog index i = 0..199) ---
+
+  private[engine] def pngDims(i: Int): (Int, Int) = (8 + i % 24, 8 + (i * 7) % 24)
+  private[engine] def wavFrames(i: Int): Int = 32 + i % 64
+  private[engine] def videoDims(i: Int): (Int, Int, Int) =
+    (16 + (i * 3) % 48, 16 + (i * 5) % 48, 1 + i % 30)
+
+  private[engine] def pngPayload(i: Int): Array[Byte] = {
+    val (w, h) = pngDims(i)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (x * 31 + y * 17 + i * 7919) & 0xFFFFFF)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
-  /** One decoded feature row per media item. */
+  /** Minimal valid RIFF/WAVE: PCM16 mono @8kHz, `wavFrames(i)` samples. */
+  private[engine] def wavPayload(i: Int): Array[Byte] = {
+    val n = wavFrames(i)
+    val dataBytes = n * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)            // PCM, mono
+      .putInt(8000).putInt(8000 * 2)      // sample rate, byte rate
+      .putShort(2).putShort(16)           // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var j = 0
+    while (j < n) { buf.putShort(((i * 31 + j * 7) % 32768).toShort); j += 1 }
+    buf.array()
+  }
+
+  /** Synthetic video container: "GFTV" magic + width/height/frames (BE
+    * int32) + opaque content bytes. STUB stand-in for mp4 (no codec here). */
+  private[engine] def videoPayload(ref: String, i: Int): Array[Byte] = {
+    val (w, h, f) = videoDims(i)
+    val content = java.security.MessageDigest.getInstance("MD5")
+      .digest(ref.getBytes("UTF-8"))
+    val buf = java.nio.ByteBuffer.allocate(16 + content.length)
+    buf.put("GFTV".getBytes("US-ASCII")).putInt(w).putInt(h).putInt(f)
+      .put(content)
+    buf.array()
+  }
+
+  /** Deterministic synthetic media table over the catalog (m-0..m-199):
+    * real PNG / real WAV / synthetic-container video payloads. */
+  def syntheticMedia(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    DocTable.mediaCatalog(spark)
+      .select(col("media_ref"), col("bytes"))
+      .as[(String, Long)]
+      .map { case (ref, bytes) =>
+        val i = ((bytes - 64) / 1024).toInt
+        val mime = (bytes % 3) match {
+          case 0 => "image/png"
+          case 1 => "audio/wav"
+          case _ => "video/mp4"
+        }
+        val payload = mime match {
+          case "image/png" => pngPayload(i)
+          case "audio/wav" => wavPayload(i)
+          case _           => videoPayload(ref, i)
+        }
+        (ref, mime, payload, bytes, "synthetic")
+      }
+      .toDF("media_ref", "mime", "payload", "_bytes", "_source")
+      .withColumn("meta", struct(col("_bytes").as("bytes"), col("_source").as("source")))
+      .drop("_bytes", "_source")
+  }
+
+  /** One decoded feature row per media item. For audio, width/height are 0
+    * and `frames` is the PCM sample count; for images `frames` is 1. */
   case class MediaFeature(
       media_ref: String, mime: String,
       width: Int, height: Int, frames: Int,
       feature: Array[Float])
 
-  /** ??? STUB ??? — the real implementation would decode `payload` with an
-    * image/audio codec and run a feature extractor. This deterministic fake
-    * derives pseudo-features from the payload bytes so the pipeline shape
-    * (schema, batching, partition strategy) is fully exercisable in tests.
-    */
-  object StubDecoder {
+  /** Decode media metadata + a deterministic feature vector.
+    * PNG and WAV decodes are real (javax.imageio / RIFF header parse);
+    * video parses the synthetic GFTV container header (STUB for mp4). */
+  object Decoder {
     def decode(mime: String, payload: Array[Byte], dim: Int = 8): (Int, Int, Int, Array[Float]) = {
-      // deterministic pseudo-decode from payload content only
-      val h = java.util.Arrays.hashCode(payload)
-      val width = 16 + math.abs(h % 1024)
-      val height = 16 + math.abs((h / 7) % 1024)
-      val frames = if (mime.startsWith("video")) 1 + math.abs(h % 32) else 1
+      val (w, h, frames) = mime match {
+        case m if m.startsWith("image/") =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          require(img != null, "undecodable image payload")
+          (img.getWidth, img.getHeight, 1)
+        case m if m.startsWith("audio/") =>
+          val buf = java.nio.ByteBuffer.wrap(payload)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          require(payload.length >= 44 &&
+            new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+            new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
+          val blockAlign = buf.getShort(32).toInt
+          val dataBytes = buf.getInt(40)
+          (0, 0, dataBytes / blockAlign)
+        case _ =>
+          require(payload.length >= 16 &&
+            new String(payload, 0, 4, "US-ASCII") == "GFTV", "not a GFTV payload")
+          val buf = java.nio.ByteBuffer.wrap(payload)
+          (buf.getInt(4), buf.getInt(8), buf.getInt(12))
+      }
+      // deterministic pseudo-feature from payload content (a real pipeline
+      // would run an embedding model here); strictly positive components so
+      // the vector never has zero norm
       val feature = Array.tabulate(dim)(i =>
-        ((payload((i * 31) % payload.length) & 0xff) - 128) / 128.0f)
-      (width, height, frames, feature)
+        ((payload((i * 31) % payload.length) & 0xff) + 1 + i) / 300.0f)
+      (w, h, frames, feature)
     }
   }
 
@@ -72,7 +167,7 @@ object MediaOps {
       .as[(String, String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (ref, mime, payload) =>
-          val (w, h, fr, feat) = StubDecoder.decode(mime, payload, dim)
+          val (w, h, fr, feat) = Decoder.decode(mime, payload, dim)
           MediaFeature(ref, mime, w, h, fr, feat)
         }
       }

@@ -165,7 +165,7 @@ object SparkEntry {
         TextOps.withMutatedTwins(
           s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
           "doc_id", "text"),
-        "doc_id", "text", maxHamming = 2)),
+        "doc_id", "text", maxHamming = 2, maxBucket = 4096)),
 
     // ---- similarity search over embeddings ----
     "q_knn_exact" -> ((s, dir) => {

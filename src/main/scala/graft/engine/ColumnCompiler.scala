@@ -106,6 +106,18 @@ object ColumnCompiler {
     case other    => throw Unsupported(s"non-scalar literal ${other.typeName} in column path")
   }
 
+  /** Whether `col === literal(v)` is well-typed for a column of the given
+    * JSON type. Mixed numeric widths coerce fine; string-vs-number or
+    * boolean-vs-number would throw under ANSI mode, and per JSON semantics
+    * cross-type values are simply unequal. Non-scalars fall through to
+    * [[literal]]'s Unsupported (row-core fallback). */
+  private def literalComparable(v: JVal, jsonType: String): Boolean = v match {
+    case _: JStr  => jsonType == "string"
+    case _: JNum  => jsonType == "integer" || jsonType == "number"
+    case _: JBool => jsonType == "boolean"
+    case _        => true
+  }
+
   private def compile(
       schema: JVal, col: Column, dt: DataType, path: Column,
       doc: SchemaDoc, refsSeen: Set[String]): Column = schema match {
@@ -214,16 +226,21 @@ object ColumnCompiler {
           val items = v match { case JArr(i) => i; case _ => Vector.empty }
           val nullOk = items.contains(JNull)
           val scalars = items.filter(x => x != JNull)
+          // Type-incompatible entries are statically false (the row core just
+          // reports no match) — comparing e.g. a numeric literal against a
+          // string column would raise an ANSI cast error at runtime.
           val simpleCond =
             when(col.isNull, lit(nullOk))
-              .otherwise(if (scalars.isEmpty) lit(false)
-                         else scalars.map(s => col === literal(s)).reduce(_ || _))
+              .otherwise(scalars.map(s =>
+                  if (literalComparable(s, jsonType)) col === literal(s) else lit(false))
+                .reduceOption(_ || _).getOrElse(lit(false)))
           check(simpleCond, path, "enum", "Value must be in enum")
 
         case "const" =>
           val cond = v match {
             case JNull => col.isNull
-            case s     => col === literal(s)
+            case s if !literalComparable(s, jsonType) => lit(false) // see enum
+            case s => col === literal(s)
           }
           check(cond, path, "const", "Value must be equal to const")
 
@@ -274,9 +291,9 @@ object ColumnCompiler {
           if (jsonType != "string") noErrors
           else {
             val fmt = v match { case JStr(s) => s; case _ => "" }
-            FormatColumns.regexFor(fmt) match {
-              case Some(re) =>
-                check(col.isNull || col.rlike(re), path, "format", s"Doesn't match $fmt format")
+            FormatColumns.condition(fmt, col) match {
+              case Some(cond) =>
+                check(col.isNull || cond, path, "format", s"Doesn't match $fmt format")
               case None if FormatColumns.passThrough(fmt) => noErrors
               case None => throw Unsupported(s"format $fmt needs the row-level core")
             }
@@ -648,12 +665,18 @@ object ColumnCompiler {
         val items = v match { case JArr(i) => i; case _ => return lit(true) }
         val nullOk = items.contains(JNull)
         val scalars = items.filter(_ != JNull)
+        // type-incompatible entries: statically false, see the error plan
         ok(when(col.isNull, lit(nullOk))
-          .otherwise(if (scalars.isEmpty) lit(false)
-                     else scalars.map(s => col === literal(s)).reduce(_ || _)))
+          .otherwise(scalars.map(s =>
+              if (literalComparable(s, jsonType)) col === literal(s) else lit(false))
+            .reduceOption(_ || _).getOrElse(lit(false))))
 
       case "const" =>
-        ok(v match { case JNull => col.isNull; case s => col === literal(s) })
+        ok(v match {
+          case JNull => col.isNull
+          case s if !literalComparable(s, jsonType) => lit(false)
+          case s => col === literal(s)
+        })
 
       case "multipleOf" =>
         if (jsonType != "number" && jsonType != "integer") lit(true)
@@ -694,8 +717,8 @@ object ColumnCompiler {
         if (jsonType != "string") lit(true)
         else {
           val fmt = v match { case JStr(s) => s; case _ => "" }
-          FormatColumns.regexFor(fmt) match {
-            case Some(re) => ok(col.isNull || col.rlike(re))
+          FormatColumns.condition(fmt, col) match {
+            case Some(cond) => ok(col.isNull || cond)
             case None if FormatColumns.passThrough(fmt) => lit(true)
             case None => throw Unsupported(s"format $fmt needs the row-level core")
           }
@@ -1062,13 +1085,13 @@ object ColumnCompiler {
   }
 }
 
-/** Format → anchored-regex mapping reused by the column path. */
+/** Format → Column-condition mapping reused by the column path. */
 object FormatColumns {
   import graft.validate.Formats
   private def anchor(p: String): String = s"^(?:$p)$$"
   private val regexFormats: Map[String, String] = Map(
     "email" -> Formats.emailPattern,
-    "hostname" -> Formats.hostnamePattern, // length caps checked separately below
+    "hostname" -> Formats.hostnamePattern,
     "ipv4" -> Formats.ipv4Pattern,
     "ipv6" -> Formats.ipv6Pattern,
     "uri" -> Formats.uriPattern,
@@ -1076,7 +1099,18 @@ object FormatColumns {
     "relative-json-pointer" -> Formats.relativeJsonPointerPattern
   ).map { case (k, v) => k -> anchor(v) }
 
-  def regexFor(fmt: String): Option[String] = regexFormats.get(fmt)
+  /** The (non-null) validity condition for a format, when the column path
+    * supports it. hostname adds the RFC 1034 length caps on top of its
+    * regex, matching [[Formats.hostname]]: total ≤ 255 chars (all-ASCII
+    * once the regex passes, so `length` = bytes), and no label longer than
+    * 63 (a run of 64+ label characters ⟺ some dot-separated label > 63). */
+  def condition(fmt: String, col: Column): Option[Column] =
+    regexFormats.get(fmt).map { re =>
+      val base = col.rlike(re)
+      if (fmt == "hostname")
+        base && length(col) <= 255 && !col.rlike("[A-Za-z0-9-]{64,}")
+      else base
+    }
 
   /** Unknown formats succeed (reference default, validate.cljc:550-552). */
   def passThrough(fmt: String): Boolean = !Set(

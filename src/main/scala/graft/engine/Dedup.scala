@@ -26,20 +26,6 @@ object Dedup {
           concat_ws(" ", slice(words, i + 1, lit(k))))))
   }
 
-  /** MinHash signature: for each of `h` hash families, the minimum xxhash64
-    * over the shingles (seeded by the family index). */
-  def minhashSignature(shingles: Column, h: Int = 16): Column =
-    array((0 until h).map(j =>
-      array_min(transform(shingles, s => xxhash64(s, lit(j))))): _*)
-
-  /** LSH band keys: split the signature into `bands` rows of `rowsPerBand`
-    * and hash each band. Same band key ⇒ candidate pair. */
-  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    array((0 until bands).map(b =>
-      xxhash64(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, rowsPerBand),
-          x => x.cast(StringType))), lit(b))): _*)
-
   /** 64-bit string hash with a seed (FNV-1a over UTF-8 with seed mixing).
     * The LSH hash family does NOT need to match any SQL builtin — candidate
     * pairs are verified with exact Jaccard afterwards. */
@@ -158,18 +144,16 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
-  /** Count of LSH buckets exceeding the skew cap (observability for the
-    * `maxBucket` guard in [[minhashPairs]]). */
+  /** Count of LSH buckets exceeding the skew cap — computed from the SAME
+    * [[signatureFrame]] band hashing [[minhashPairs]] prunes with, so the
+    * metric describes the buckets actually dropped. */
   def skewedBuckets(
       docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, h: Int = 16, bands: Int = 4, maxBucket: Int = 64): Long = {
-    val rows = h / bands
-    docs.select(col(idCol).as("id"), wordShingles(col(textCol), k).as("shingles"))
-      .withColumn("bands", bandKeys(minhashSignature(col("shingles"), h), bands, rows))
+      k: Int = 3, h: Int = 16, bands: Int = 4, maxBucket: Int = 64): Long =
+    signatureFrame(docs, idCol, textCol, k, h, bands)
       .select(posexplode(col("bands")).as(Seq("band", "bucket")))
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket).count()
-  }
 
   /** Exact n-gram Jaccard for a candidate pair frame (columns sh_a, sh_b). */
   def jaccard(shA: Column, shB: Column): Column =
@@ -192,11 +176,9 @@ object Dedup {
     bits.reduce(_ + _)
   }
 
-  /** SimHash near-dup pairs: bucket on the top `prefixBits` bits (cheap LSH
-    * for hamming space), verify with full hamming distance ≤ maxHamming. */
   /** Typed-projection SimHash (same rationale as [[minhashPairs]]'s
     * signature stage: plain loops beat interpreted lambdas ~100×). */
-  private def simhashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  private[engine] def simhashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast(LongType).as("id"),
@@ -225,20 +207,66 @@ object Dedup {
       .toDF("id", "sig")
   }
 
+  /** Pigeonhole block boundaries: `maxHamming + 1` contiguous blocks
+    * covering all 32 signature bits (remainder bits widen the last block).
+    * Any pair within hamming distance ≤ maxHamming differs in at most
+    * maxHamming blocks, so it agrees EXACTLY on at least one block —
+    * bucketing per block therefore has full recall, unlike a single-prefix
+    * bucket (which misses any pair whose differing bits land in the prefix). */
+  private[engine] def simhashBlocks(maxHamming: Int): Array[(Int, Int)] = {
+    val nBlocks = maxHamming + 1
+    val width = 32 / nBlocks
+    Array.tabulate(nBlocks) { b =>
+      val start = b * width
+      val w = if (b == nBlocks - 1) 32 - start else width
+      (start, w)
+    }
+  }
+
+  /** SimHash near-dup pairs via pigeonhole multi-block LSH: emit one
+    * (block, block-bits) key per signature block, self-join per key, verify
+    * full hamming ≤ maxHamming. Full recall by the pigeonhole principle;
+    * `maxBucket` caps degenerate buckets (boilerplate corpora put thousands
+    * of identical signatures in one bucket → O(bucket²)) with observability
+    * via [[simhashSkewedBuckets]]. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, prefixBits: Int = 8): DataFrame = {
-    val withSig = simhashFrame(docs, idCol, textCol)
-      .withColumn("bucket", shiftright(col("sig"), 32 - prefixBits))
+      maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
+    val blocks = simhashBlocks(maxHamming)
+    val blockKeysCol = array(blocks.zipWithIndex.map { case ((start, w), _) =>
+      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
+    }.toSeq: _*)
+    val exploded = simhashFrame(docs, idCol, textCol)
+      .select(col("id"), col("sig"), posexplode(blockKeysCol).as(Seq("block", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bucket"))
+    val smallBuckets = exploded.groupBy("block", "key")
+      .agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket)
+      .select("block", "key")
+    val pruned = exploded.join(smallBuckets, Seq("block", "key"))
+    pruned.select(col("block"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+      .join(pruned.select(col("block"), col("key"), col("id").as("id_b"), col("sig").as("sig_b")),
+        Seq("block", "key"))
       .where(col("id_a") < col("id_b"))
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
       .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
+  }
+
+  /** Count of simhash block-buckets above the [[simhashPairs]] skew cap —
+    * same block hashing as the pruning. */
+  def simhashSkewedBuckets(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 100000): Long = {
+    val blocks = simhashBlocks(maxHamming)
+    val blockKeysCol = array(blocks.map { case (start, w) =>
+      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
+    }.toSeq: _*)
+    simhashFrame(docs, idCol, textCol)
+      .select(posexplode(blockKeysCol).as(Seq("block", "key")))
+      .groupBy("block", "key").agg(count(lit(1)).as("n"))
+      .where(col("n") > maxBucket).count()
   }
 }

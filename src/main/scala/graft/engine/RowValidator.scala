@@ -25,8 +25,14 @@ object RowValidator {
       case (l: Long, _)                   => JNum(BigDecimal(l))
       case (s: Short, _)                  => JNum(BigDecimal(s.toInt))
       case (b: Byte, _)                   => JNum(BigDecimal(b.toInt))
-      case (f: Float, _)                  => JNum(BigDecimal(f.toDouble))
-      case (d: Double, _)                 => JNum(BigDecimal(d))
+      case (f: Float, _)                  => toJVal(f.toDouble, DoubleType)
+      case (d: Double, _) =>
+        // BigDecimal cannot represent NaN/Infinity; approximate with an
+        // out-of-range decimal so comparisons behave like Spark's ordering
+        // (NaN and +Inf sort above every finite double) instead of crashing.
+        if (d.isNaN || d == Double.PositiveInfinity) JNum(BigDecimal("1e999"))
+        else if (d == Double.NegativeInfinity) JNum(BigDecimal("-1e999"))
+        else JNum(BigDecimal(d))
       case (d: java.math.BigDecimal, _)   => JNum(BigDecimal(d))
       case (r: Row, st: StructType) =>
         // Columnar mapping: a NULL struct field means the property is ABSENT
@@ -47,13 +53,18 @@ object RowValidator {
         throw new IllegalArgumentException(s"cannot map $other of Spark type $t to JSON")
     }
 
-  /** Validate each row of `df` (the whole row as the instance object).
+  /** Validate each row of `df`. The instance is the object formed from
+    * `payloadCols` (all columns when None) — pass the same field set the
+    * Column path validates, or the two declared-equivalent paths diverge on
+    * object-shape keywords (additionalProperties, maxProperties, …).
     * Returns `df` columns + `valid:boolean` +
     * `errors:array<struct<path,keyword,message>>`. */
-  def validateRows(spark: SparkSession, df: DataFrame, schemaJson: String): DataFrame = {
+  def validateRows(spark: SparkSession, df: DataFrame, schemaJson: String,
+      payloadCols: Option[Seq[String]] = None): DataFrame = {
     val bcSchema: Broadcast[SchemaDoc] =
       spark.sparkContext.broadcast(SchemaDoc.schema(schemaJson))
     val schema = df.schema
+    val payloadIdx = payloadCols.map(_.map(schema.fieldIndex).toArray)
     val outSchema = schema
       .add(StructField("valid", BooleanType, nullable = false))
       .add(StructField("errors", ColumnCompiler.errorType, nullable = false))
@@ -61,7 +72,15 @@ object RowValidator {
     df.mapPartitions { rows =>
       val compiled = bcSchema.value
       rows.map { row =>
-        val inst = toJVal(row, schema)
+        val inst = payloadIdx match {
+          case None => toJVal(row, schema)
+          case Some(idxs) =>
+            // same columnar mapping as toJVal on a Row: null field = absent
+            JObj(idxs.toVector.collect {
+              case i if !row.isNullAt(i) =>
+                schema.fields(i).name -> toJVal(row.get(i), schema.fields(i).dataType)
+            })
+        }
         val res = Validator.validate(compiled, inst, Options())
         val errRows = leafErrors(res.errors).map(v => Row(v.path, v.keyword, v.message))
         Row.fromSeq(row.toSeq :+ res.valid :+ errRows)

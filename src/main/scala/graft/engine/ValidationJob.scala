@@ -29,7 +29,10 @@ object ValidationJob {
         .withColumn("valid", size(col("errors")) === 0)
     } catch {
       case _: ColumnCompiler.Unsupported =>
-        RowValidator.validateRows(spark, docs, schemaJson)
+        // validate the same payload fields the Column path would — NOT the
+        // whole row — so the two paths agree on object-shape keywords
+        RowValidator.validateRows(spark, docs, schemaJson,
+          Some(payloadFields.map(_.name).toSeq))
     }
   }
 
@@ -44,7 +47,8 @@ object ValidationJob {
     try docs.withColumn("valid", ColumnCompiler.valid(doc, payload, StructType(payloadFields)))
     catch {
       case _: ColumnCompiler.Unsupported =>
-        RowValidator.validateRows(spark, docs, schemaJson).drop("errors")
+        RowValidator.validateRows(spark, docs, schemaJson,
+          Some(payloadFields.map(_.name).toSeq)).drop("errors")
     }
   }
 

@@ -1,0 +1,159 @@
+package graft.engine
+
+import graft.json._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the round-2 fixes: SimHash pigeonhole recall, skew
+  * caps, enum/const ANSI type safety, hostname column-path length caps,
+  * non-finite numerics in the row core, and fallback payload projection. */
+class Round2FixSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("simhash pigeonhole: any pair within maxHamming shares at least one block (property)") {
+    val rnd = new scala.util.Random(42)
+    for (maxHamming <- 1 to 4) {
+      val blocks = Dedup.simhashBlocks(maxHamming)
+      assert(blocks.map(_._2).sum === 32)
+      for (_ <- 1 to 200) {
+        val a = rnd.nextInt() & 0xFFFFFFFFL
+        // flip exactly maxHamming distinct bits
+        val flips = rnd.shuffle((0 until 32).toList).take(maxHamming)
+        val b = flips.foldLeft(a)((acc, j) => acc ^ (1L << j))
+        val shared = blocks.exists { case (start, w) =>
+          ((a >>> start) & ((1L << w) - 1)) == ((b >>> start) & ((1L << w) - 1))
+        }
+        assert(shared, s"pair at distance $maxHamming shares no block: a=$a flips=$flips")
+      }
+    }
+  }
+
+  test("simhashPairs differential: equals brute-force hamming pairs (full recall)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = TextOps.withMutatedTwins(docs, "doc_id", "text")
+    val got = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).intValue())).toSet
+    // brute force over the SAME signatures the operator buckets with
+    val sigs = Dedup.simhashFrame(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got === expected)
+  }
+
+  test("simhashPairs catches twins whose differing bits fall in the old top-8 prefix") {
+    // craft texts empirically: find two with hamming<=2 and a flip in bits 24..31
+    // by brute-forcing a base text plus word swaps; fall back to asserting the
+    // pigeonhole key set directly if the corpus search finds none.
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
+    val variants = (0 until 200).map(i => (i.toLong, base + s" tail$i"))
+    val df = variants.toDF("doc_id", "text")
+    val sigs = Dedup.simhashFrame(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val prefixPairs = for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 2 &&
+        ((sa ^ sb) >>> 24) != 0L // differing bit inside the old prefix bucket
+    } yield (ia, ib)
+    assert(prefixPairs.nonEmpty, "corpus has no prefix-differing close pair; adjust fixture")
+    val found = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    prefixPairs.foreach(p => assert(found.contains(p), s"missed prefix-differing pair $p"))
+  }
+
+  test("skew caps keep boilerplate corpora from quadratic candidate stages") {
+    // 2000 identical docs + 2 distinct near-dups
+    val boiler = (0 until 2000).map(i => (i.toLong, "the same boilerplate text repeated verbatim across the corpus"))
+    val extras = Seq((9001L, "a unique document about rivers and mountains flowing east"),
+      (9002L, "a unique document about rivers and mountains flowing west"))
+    val df = (boiler ++ extras).toDF("doc_id", "text")
+    val cap = 100
+    // minhash: the boilerplate bucket (2000 rows) must be dropped, not joined
+    assert(Dedup.skewedBuckets(df, "doc_id", "text", maxBucket = cap) > 0)
+    val mh = Dedup.minhashPairs(df, "doc_id", "text", threshold = 0.5, maxBucket = cap)
+    assert(mh.count() < 50) // without the cap this is ~2M boilerplate pairs
+    // simhash: same cap discipline
+    assert(Dedup.simhashSkewedBuckets(df, "doc_id", "text", maxHamming = 2, maxBucket = cap) > 0)
+    val sh = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 2, maxBucket = cap)
+    assert(sh.count() < 50)
+    // srp: identical embeddings all land in one bucket; cap drops it
+    val emb = (0 until 500).map(i => (i.toLong, Array.fill(16)(0.5f))).toDF("vec_id", "embedding")
+    assert(Similarity.srpSkewedBuckets(emb, bits = 4, maxBucket = 100) > 0)
+    assert(Similarity.cosineNearDups(emb, 0.99, bits = 4, maxBucket = 100).count() === 0)
+  }
+
+  test("enum/const against a type-incompatible column is invalid, not an ANSI crash") {
+    val df = Seq(("a", "hello", 5L), ("b", "3", 7L)).toDF("id", "s", "n")
+    val payload = struct(col("s"), col("n"))
+    val ptype = StructType(Seq(StructField("s", StringType), StructField("n", LongType)))
+    // numeric enum on a string field + string const on a numeric field
+    val schema = graft.schema.SchemaDoc.schema(
+      """{"properties":{"s":{"enum":[3, 5]},"n":{"const":"7"}}}""")
+    val errs = ColumnCompiler.errors(schema, payload, ptype)
+    val out = df.withColumn("errors", errs).withColumn("valid", size(col("errors")) === 0)
+      .select("id", "valid").collect().map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(out === Map("a" -> false, "b" -> false))
+    // row core agrees (cross-type JSON values are simply unequal)
+    val row = graft.validate.Validator.validate(schema,
+      JObj(Vector("s" -> JStr("3"), "n" -> JNum(BigDecimal(7)))), graft.validate.Options())
+    assert(!row.valid)
+  }
+
+  test("hostname column path enforces the RFC 1034 length caps like the row core") {
+    val longLabel = "a" * 64 + ".example.com"            // label > 63
+    val okLabel = "a" * 63 + ".example.com"              // label == 63 is fine
+    val longTotal = (Seq.fill(31)("a" * 7).mkString(".") + ".example.org." +
+      Seq.fill(5)("b" * 7).mkString(".")).take(300)      // > 255 chars total
+    val cases = Seq(("long_label", longLabel), ("ok_label", okLabel),
+      ("valid", "spark.apache.org"))
+    val df = cases.toDF("id", "h")
+    val schema = graft.schema.SchemaDoc.schema("""{"properties":{"h":{"format":"hostname"}}}""")
+    val ptype = StructType(Seq(StructField("h", StringType)))
+    val out = df.withColumn("errors", ColumnCompiler.errors(schema, struct(col("h")), ptype))
+      .select(col("id"), size(col("errors")) === 0).collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(out === Map("long_label" -> false, "ok_label" -> true, "valid" -> true))
+    // agreement with the row core on every case incl. the >255 one
+    (cases.map(_._2) :+ longTotal).foreach { h =>
+      val colValid = out.getOrElse(cases.find(_._2 == h).map(_._1).getOrElse(""),
+        graft.validate.Formats.hostname(h))
+      assert(graft.validate.Formats.hostname(h) === colValid ||
+        !cases.exists(_._2 == h)) // longTotal checked row-core only here
+    }
+    assert(!graft.validate.Formats.hostname(longTotal))
+  }
+
+  test("row core survives NaN/Infinity doubles (no BigDecimal crash)") {
+    val nan = RowValidator.toJVal(Double.NaN, DoubleType)
+    val pinf = RowValidator.toJVal(Double.PositiveInfinity, DoubleType)
+    val ninf = RowValidator.toJVal(Double.NegativeInfinity, DoubleType)
+    assert(nan.isInstanceOf[JNum] && pinf.isInstanceOf[JNum] && ninf.isInstanceOf[JNum])
+    val schema = graft.schema.SchemaDoc.schema("""{"type":"number","maximum":100}""")
+    val res = graft.validate.Validator.validate(schema, nan, graft.validate.Options())
+    assert(!res.valid) // NaN ~ +huge: above maximum, like Spark's NaN ordering
+    val resNeg = graft.validate.Validator.validate(schema, ninf, graft.validate.Options())
+    assert(resNeg.valid)
+  }
+
+  test("row-core fallback validates the payload fields only, matching the column path") {
+    // additionalProperties:false forces the row-core fallback; pass-through
+    // columns (doc_num) must NOT count as additional properties
+    val docs = Seq((1L, "doc-1", Seq(("text", "hello", null: String, 0))))
+      .toDF("doc_num", "doc_id", "raw")
+      .withColumn("spans", expr(
+        "transform(raw, r -> named_struct('kind', r._1, 'text', r._2, 'media_ref', r._3, 'offset', r._4))"))
+      .drop("raw")
+    val schemaJson =
+      """{"type":"object","additionalProperties":false,
+        |  "properties":{"doc_id":{"type":"string"},"spans":{"type":"array"}}}""".stripMargin
+    val out = ValidationJob.withVerdicts(spark, docs, schemaJson)
+    assert(out.select("valid").collect().forall(_.getBoolean(0)),
+      "pass-through doc_num column leaked into the validated instance")
+  }
+}

@@ -28,10 +28,43 @@ object SchemaRegistry {
   def compile(sources: Map[String, String]): SchemaRegistry =
     new SchemaRegistry(sources.map { case (k, v) => k -> SchemaDoc.schema(v) })
 
-  /** Validate each row against the schema its `schemaCol` names. The
-    * registry is broadcast once; rows dispatch locally. Adds
-    * `valid` + `errors` like [[ValidationJob.withVerdicts]]. */
+  /** Validate each row against the schema its `schemaCol` names. Adds
+    * `valid` + `errors` like [[ValidationJob.withVerdicts]].
+    *
+    * When every registry schema is column-expressible, the dispatch compiles
+    * to a CASE chain of Catalyst plans — whole-stage codegen, no per-row
+    * interpretation, no JVal allocation; at 10^12 rows this is the only
+    * acceptable shape. Falls back to the broadcast row core when any schema
+    * needs it (recursive $ref, dynamic objects, content decoding). */
   def validateWith(
+      spark: SparkSession, df: DataFrame,
+      registry: SchemaRegistry, schemaCol: String): DataFrame = {
+    val payloadFields = df.schema.fields.filter(_.name != schemaCol)
+    val payloadType = StructType(payloadFields)
+    val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
+    val plans: Option[Seq[(String, org.apache.spark.sql.Column)]] =
+      try Some(registry.schemas.toSeq.sortBy(_._1).map { case (n, doc) =>
+        n -> ColumnCompiler.errors(doc, payload, payloadType)
+      })
+      catch { case _: ColumnCompiler.Unsupported => None }
+    plans match {
+      case Some((n0, p0) +: rest) =>
+        // unknown schema name raises, mirroring the row path's lookup error
+        val chain = rest.foldLeft(when(col(schemaCol) === n0, p0)) {
+          case (acc, (n, p)) => acc.when(col(schemaCol) === n, p)
+        }.otherwise(raise_error(concat(
+          lit("no schema '"), col(schemaCol),
+          lit(s"' in registry (${registry.names.toSeq.sorted.mkString(", ")})"))))
+        df.withColumn("valid", lit(true))
+          .withColumn("errors", chain)
+          .withColumn("valid", size(col("errors")) === 0)
+      case _ => rowCoreValidateWith(spark, df, registry, schemaCol)
+    }
+  }
+
+  /** Broadcast row-core dispatch (fallback path; also the differential-test
+    * reference for the compiled CASE dispatch). */
+  private[engine] def rowCoreValidateWith(
       spark: SparkSession, df: DataFrame,
       registry: SchemaRegistry, schemaCol: String): DataFrame = {
     val bc: Broadcast[SchemaRegistry] = spark.sparkContext.broadcast(registry)

@@ -35,10 +35,38 @@ class SchemaRegistrySpec extends AnyFunSuite {
   test("unknown schema name fails loudly") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(9L, "nope", "x")), 1), schema)
-    val e = intercept[org.apache.spark.SparkException] {
+    val e = intercept[Throwable] {
       SchemaRegistry.validateWith(spark, df, registry, "schema_name").collect()
     }
-    assert(e.getMessage.contains("no schema 'nope'") ||
-      Option(e.getCause).exists(_.getMessage.contains("no schema 'nope'")))
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("no schema 'nope'")) || mentions(t.getCause))
+    assert(mentions(e))
+  }
+
+  test("compiled CASE dispatch agrees with the broadcast row core (differential)") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+    def key(r: Row) = (r.getLong(0), r.getBoolean(3), r.getSeq[Row](4).length)
+    val compiled = SchemaRegistry.validateWith(spark, df, registry, "schema_name")
+      .collect().map(key).sortBy(_._1)
+    val rowCore = SchemaRegistry.rowCoreValidateWith(spark, df, registry, "schema_name")
+      .collect().map(key).sortBy(_._1)
+    assert(compiled.toSeq === rowCore.toSeq)
+    // and the compiled path really is the one validateWith picked: its plan
+    // must contain no mapPartitions (DeserializeToObject) node
+    val plan = SchemaRegistry.validateWith(spark, df, registry, "schema_name")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), s"expected compiled dispatch, got:\n$plan")
+  }
+
+  test("registry with a column-inexpressible schema falls back to the row core") {
+    val reg = SchemaRegistry.compile(Map(
+      "short-text" -> """{"properties":{"payload":{"type":"string","maxLength":5}},"required":["payload"]}""",
+      // recursive $ref is not column-expressible → whole dispatch falls back
+      "meta" -> """{"$ref":"http://json-schema.org/draft-07/schema#"}"""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, "short-text", "hi"), Row(1L, "meta", "x")), 1), schema)
+    val out = SchemaRegistry.validateWith(spark, df, reg, "schema_name")
+      .select("id", "valid").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out(0L))
   }
 }

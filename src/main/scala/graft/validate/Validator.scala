@@ -14,15 +14,33 @@ import scala.collection.concurrent.TrieMap
   */
 final case class Violation(path: String, keyword: String, message: String)
 
+/** One journal entry: the outcome of processing a single keyword
+  * (`validate.cljc:818` — every processed keyword is recorded). */
+final case class JournalEntry(
+    keyword: String,
+    errors: Vector[Violation],
+    instance: Option[JVal],
+    annotations: Option[Map[String, JVal]])
+
 /** Mirror of the reference's validate result shape (`validate.cljc:824-833`):
   * the instance may be *transformed* by validation (required-recovery
   * defaults, coercions, contentMediaType decoding, child rebuilds).
+  * `instanceType` is the reference's `:type` (set by a string-form `type`
+  * keyword on success); `journal` is populated only under
+  * `Options(journal = true)`. Annotations follow the reference exactly:
+  * `properties` nests child annotations under the reserved `":properties"`
+  * key (a Clojure *keyword* in the reference, so it can never collide with
+  * a string annotation name), and `allOf`/`anyOf` merge valid branches'
+  * annotations into per-key value LISTS (`merge-annotations`,
+  * `validate.cljc:51-76`).
   */
 final case class VResult(
     valid: Boolean,
     errors: Vector[Violation],
     instance: JVal,
-    annotations: Map[String, JVal])
+    annotations: Map[String, JVal],
+    instanceType: Option[String] = None,
+    journal: Vector[JournalEntry] = Vector.empty)
 
 final case class Options(
     resolvers: Seq[Resolver] = Resolver.default,
@@ -31,7 +49,10 @@ final case class Options(
       * JVal type names: null/boolean/number/string/array/object. */
     coercions: Map[(String, String), JVal => JVal] = Map.empty,
     keywordOrder: Option[Seq[String]] = None,
-    maxRefDepth: Int = 100)
+    maxRefDepth: Int = 100,
+    /** Record every keyword outcome (the reference's `:journal?` option,
+      * `validate.cljc:824-832`). */
+    journal: Boolean = false)
 
 /** Row-level draft-7 validator — semantics ported from the reference's
   * `validate*` recursion (`/root/reference/src/juxt/jinx/alpha/validate.cljc:741-833`)
@@ -145,12 +166,15 @@ object Validator {
   // --------------------------------------------------------------------------
 
   /** Per-keyword outcome: errors to append, and optionally a transformed
-    * instance / replaced annotations (the reference's journal fold,
-    * `validate.cljc:803-823`). */
+    * instance / replaced annotations / replaced instance-type (the
+    * reference's journal fold, `validate.cljc:803-823`). `instanceType` is
+    * double-Option because `oneOf`/`if` replace `:type` with the branch
+    * result's value even when that value is absent. */
   private final case class KwOut(
       errors: Vector[Violation] = Vector.empty,
       instance: Option[JVal] = None,
-      annotations: Option[Map[String, JVal]] = None)
+      annotations: Option[Map[String, JVal]] = None,
+      instanceType: Option[Option[String]] = None)
 
   private val NoOp = KwOut()
 
@@ -159,7 +183,9 @@ object Validator {
     val kws = (order ++ schema.keys).distinct
     var inst = instance0
     var ann = Map.empty[String, JVal]
+    var typ: Option[String] = None
     val errs = Vector.newBuilder[Violation]
+    val journal = if (ctx.opts.journal) Vector.newBuilder[JournalEntry] else null
     var anyError = false
     kws.foreach { kw =>
       schema.get(kw) match {
@@ -169,9 +195,28 @@ object Validator {
           if (out.errors.nonEmpty) { anyError = true; errs ++= out.errors }
           out.instance.foreach(inst = _)
           out.annotations.foreach(ann = _)
+          out.instanceType.foreach(typ = _)
+          if (journal != null)
+            journal += JournalEntry(kw, out.errors, out.instance, out.annotations)
       }
     }
-    VResult(!anyError, errs.result(), inst, ann)
+    VResult(!anyError, errs.result(), inst, ann, typ,
+      if (journal != null) journal.result() else Vector.empty)
+  }
+
+  /** The reference's `merge-annotations` (`validate.cljc:51-76`): concat all
+    * entries, group per key, flatten already-sequential values, and collect
+    * into a value LIST per key ("the default behavior is simply to collect
+    * all values"); `default` deduplicates per the spec's SHOULD. */
+  private def mergeAnnotations(maps: Seq[Map[String, JVal]]): Map[String, JVal] = {
+    val pairs = maps.flatten
+    pairs.map(_._1).distinct.map { k =>
+      val flat = pairs.collect { case (`k`, v) => v }.flatMap {
+        case JArr(els) => els
+        case other     => Vector(other)
+      }
+      k -> JArr((if (k == "default") flat.distinct else flat).toVector)
+    }.toMap
   }
 
   private def isNumber(v: JVal): Boolean = v.isInstanceOf[JNum]
@@ -208,12 +253,12 @@ object Validator {
     case "type" =>
       v match {
         case JStr(t) =>
-          if (typePred(t, instance)) NoOp
+          if (typePred(t, instance)) KwOut(instanceType = Some(Some(t)))
           else {
             val coerced = ctx.opts.coercions.get((instance.typeName, t)).map { coercer =>
               try {
                 val ni = coercer(instance)
-                KwOut(instance = Some(ni))
+                KwOut(instance = Some(ni), instanceType = Some(Some(t)))
               } catch {
                 case e: Exception => KwOut(errors = one(path, kw,
                   s"Instance is not of type $t and failed to coerce to one"))
@@ -413,20 +458,25 @@ object Validator {
       (instance, v) match {
         case (o: JObj, props: JObj) =>
           // Validate each *present* property that has a subschema; merge
-          // transformed children back (validate.cljc:391-415).
+          // transformed children back (validate.cljc:391-415). On success,
+          // child annotations nest under the reserved ":properties" key
+          // (a Clojure keyword in the reference — collision-free).
           var inst = o
           var causes = Vector.empty[Violation]
+          val childAnn = Vector.newBuilder[(String, JVal)]
           o.fields.foreach { case (k, child) =>
             props.get(k).foreach { sub =>
               val r = validateAt(sub, child, ctx, s"$path/$k")
               inst = inst.updated(k, r.instance)
+              childAnn += k -> JObj(r.annotations.toVector)
               if (!r.valid) causes ++= r.errors
             }
           }
           if (causes.nonEmpty)
             KwOut(errors = Violation(path, kw,
               "Some properties failed to validate against their schemas") +: causes)
-          else KwOut(instance = Some(inst))
+          else KwOut(instance = Some(inst),
+            annotations = Some(ann.updated(":properties", JObj(childAnn.result()))))
         case _ => NoOp
       }
 
@@ -519,24 +569,20 @@ object Validator {
 
     // ---- conditionals + combinators (validate.cljc:489-543) ----
     case "if" =>
+      // The taken branch's FULL result propagates on success — instance,
+      // annotations, and instance-type all replace the accumulated values
+      // (the reference returns `result` verbatim, validate.cljc:527-543).
+      def branch(branchSchema: JVal, label: String): KwOut = {
+        val r = validateAt(branchSchema, instance, ctx, path)
+        if (r.valid) KwOut(instance = Some(r.instance),
+          annotations = Some(r.annotations), instanceType = Some(r.instanceType))
+        else KwOut(errors = Violation(path, label,
+          s"$label clause does not succeed") +: r.errors)
+      }
       if (validateAt(v, instance, ctx, path).valid)
-        schema.get("then") match {
-          case Some(thenSchema) =>
-            val r = validateAt(thenSchema, instance, ctx, path)
-            if (r.valid) KwOut(instance = Some(r.instance))
-            else KwOut(errors = Violation(path, "then",
-              "then clause does not succeed") +: r.errors)
-          case None => NoOp
-        }
+        schema.get("then").fold(NoOp)(branch(_, "then"))
       else
-        schema.get("else") match {
-          case Some(elseSchema) =>
-            val r = validateAt(elseSchema, instance, ctx, path)
-            if (r.valid) KwOut(instance = Some(r.instance))
-            else KwOut(errors = Violation(path, "else",
-              "else clause does not succeed") +: r.errors)
-          case None => NoOp
-        }
+        schema.get("else").fold(NoOp)(branch(_, "else"))
     // then/else alone are inert — they only run via `if` above.
     case "then" | "else" => NoOp
 
@@ -545,11 +591,15 @@ object Validator {
         case JArr(subs) =>
           val results = subs.map(validateAt(_, instance, ctx, path))
           val failures = results.filter(!_.valid)
+          // Annotations of VALID branches merge into the accumulated map,
+          // success or not (validate.cljc:489-498).
+          val merged = mergeAnnotations(ann +: results.filter(_.valid).map(_.annotations))
           if (failures.nonEmpty)
             KwOut(errors = Violation(path, kw,
               "allOf schema failed due to subschema failing") +:
-              failures.flatMap(_.errors))
-          else NoOp
+              failures.flatMap(_.errors),
+              annotations = Some(merged))
+          else KwOut(annotations = Some(merged))
         case _ => NoOp
       }
 
@@ -557,10 +607,12 @@ object Validator {
       v match {
         case JArr(subs) =>
           val results = subs.map(validateAt(_, instance, ctx, path))
-          if (results.exists(_.valid)) NoOp
+          val merged = mergeAnnotations(ann +: results.filter(_.valid).map(_.annotations))
+          if (results.exists(_.valid)) KwOut(annotations = Some(merged))
           else KwOut(errors = Violation(path, kw,
             "No schema validates for anyOf validation") +:
-            results.flatMap(_.errors))
+            results.flatMap(_.errors),
+            annotations = Some(merged))
         case _ => NoOp
       }
 
@@ -576,7 +628,15 @@ object Validator {
           else if (successes.length > 1)
             KwOut(errors = one(path, kw,
               "Multiple schemas are valid in oneOf validation"))
-          else KwOut(instance = Some(successes.head.instance)) // single winner's transform propagates
+          else {
+            // the single winner's FULL result propagates — instance,
+            // annotations, and type (the reference returns `(first
+            // successes)` verbatim, validate.cljc:507-521)
+            val w = successes.head
+            KwOut(instance = Some(w.instance),
+              annotations = Some(w.annotations),
+              instanceType = Some(w.instanceType))
+          }
         case _ => NoOp
       }
 

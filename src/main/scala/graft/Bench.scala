@@ -61,6 +61,20 @@ object Bench {
     (row.getLong(0), secs)
   }
 
+  /** Scan-only control: reads the SAME bytes (doc_id + full spans structs)
+    * with near-zero compute. Where this saturates across parallelism levels
+    * marks the box's memory-bandwidth knee — the ceiling any compute on top
+    * of the scan inherits. Committed as evidence for the N→4N operating
+    * point chosen in BASELINE.md. */
+  private def scanRun(spark: SparkSession, table: String): (Long, Double) = {
+    val docs = spark.read.parquet(table)
+    val (row, secs) = time {
+      docs.agg(count(lit(1)), sum(hash(col("doc_id"), col("spans")).cast("long")))
+        .collect()(0)
+    }
+    (row.getLong(0), secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -71,7 +85,14 @@ object Bench {
     val table = benchTable(spark0, sfDir, replicate)
     validationRun(spark0, table) // JVM/codegen warm-up
     val queryTimes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, secs) = time { try fn(spark0, sfDir).count() catch { case _: Throwable => -1L } }
+      // a broken query must fail the bench loudly, not time as "fast"
+      val (_, secs) = time {
+        try fn(spark0, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: $e")
+          throw e
+        }
+      }
       name -> secs
     }
     val (docsN, headlineSecs) = validationRun(spark0, table)
@@ -88,20 +109,26 @@ object Bench {
 
     // -- N vs 4N scaling evidence (same job, same input; no real cluster in
     // this sandbox, so parallelism levels stand in for executor counts) ----
-    def scalingRun(c: Int): Double = {
+    def scalingRun(c: Int): (Double, Double) = {
       val s = session(c)
       try {
         validationRun(s, table) // warm
         val runs = (1 to 3).map(_ => validationRun(s, table))
         val (n, secs) = runs.minBy(_._2) // best-of-3 after warm: JIT/GC noise down
-        n / secs
+        scanRun(s, table) // warm
+        val scans = (1 to 3).map(_ => scanRun(s, table))
+        val (sn, sSecs) = scans.minBy(_._2)
+        (n / secs, sn / sSecs)
       } finally s.stop()
     }
     // measured highest-parallelism first so every level sees an equally
     // JIT-warm JVM (the first level measured otherwise pays tier-up cost)
-    val dps = Seq(32, 16, 8, 4).map(c => c -> scalingRun(c)).toMap
+    val levels = Seq(32, 16, 8, 4).map(c => c -> scalingRun(c)).toMap
+    val dps = levels.view.mapValues(_._1).toMap
+    val scan = levels.view.mapValues(_._2).toMap
     val eff4to16 = (dps(16) / dps(4)) / 4.0
     val eff8to32 = (dps(32) / dps(8)) / 4.0
+    val scanEff8to32 = (scan(32) / scan(8)) / 4.0
 
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -112,6 +139,8 @@ object Bench {
       s""""docs_per_sec":${f"${docsN / headlineSecs}%.0f"},""" +
       s""""docs_per_sec_verdict_only":${f"${docsN / verdictOnlySecs}%.0f"},""" +
       dps.toSeq.sorted.map { case (c, v) => s""""docs_per_sec_local$c":${f"$v%.0f"}""" }.mkString(",") + "," +
+      scan.toSeq.sorted.map { case (c, v) => s""""scan_docs_per_sec_local$c":${f"$v%.0f"}""" }.mkString(",") + "," +
+      s""""scan_efficiency_8_to_32":${f"$scanEff8to32%.3f"},""" +
       s""""scaling_efficiency_4_to_16":${f"$eff4to16%.3f"},""" +
       s""""scaling_efficiency_8_to_32":${f"$eff8to32%.3f"},""" +
       s""""scaling_efficiency":${f"${math.max(eff4to16, eff8to32)}%.3f"}}""")

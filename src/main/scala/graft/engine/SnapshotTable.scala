@@ -109,11 +109,18 @@ object CheckpointedValidation {
 
   /** Validate every bucket of `snap`, writing verdict parquet per bucket and
     * recording lineage. `failBeforeBucket` (tests) aborts the run just
-    * before processing the k-th remaining bucket. Returns processed buckets. */
+    * before processing the k-th remaining bucket. Returns processed buckets.
+    *
+    * Determinism comes from a deterministic partition assignment
+    * (hash(doc_num) mod filesPerBucket) plus an in-partition sort — NOT from
+    * coalescing to one file, which would serialize each bucket's write
+    * through a single task at scale. `filesPerBucket` sizes the write
+    * parallelism per bucket. */
   def run(
       spark: SparkSession, snap: TableSnapshot, schemaJson: String,
       outDir: String, checkpoint: CheckpointManager,
-      failBeforeBucket: Option[Int] = None): Seq[Int] = {
+      failBeforeBucket: Option[Int] = None,
+      filesPerBucket: Int = 4): Seq[Int] = {
     val done = checkpoint.completedBuckets(snap.snapshotId)
     val todo = (0 until snap.buckets).filterNot(done.contains)
     var processed = Vector.empty[Int]
@@ -121,9 +128,10 @@ object CheckpointedValidation {
       failBeforeBucket.foreach(k => if (i == k) throw new SimulatedFailure(b))
       val docs = ParquetSnapshotTable.readBucket(spark, snap, b)
       val verdicts = ValidationJob.withVerdicts(spark, docs, schemaJson)
-        .sortWithinPartitions("doc_num") // deterministic file content
       val out = s"$outDir/bucket=$b"
-      verdicts.drop("bucket").coalesce(1)
+      verdicts.drop("bucket")
+        .repartition(filesPerBucket, pmod(hash(col("doc_num")), lit(filesPerBucket)))
+        .sortWithinPartitions("doc_num") // deterministic file content
         .write.mode(SaveMode.Overwrite).parquet(out)
       val stats = verdicts.agg(
         count(lit(1)), sum(when(col("valid"), 1L).otherwise(0L)),

@@ -108,6 +108,12 @@ object SparkEntry {
           TextOps.tokenCount(coalesce(col("text"), lit(""))).as("token_count"))
         .orderBy("doc_id")),
 
+    "q_text_bpe_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          TextOps.bpeTokenCount(coalesce(col("text"), lit(""))).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
     "q_text_quality" -> ((s, dir) => {
       val t = coalesce(col("text"), lit(""))
       val qcols = TextOps.qualityColumns(t).map { case (n, c) => round(c, 6).as(n) }
@@ -176,6 +182,14 @@ object SparkEntry {
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 3, bits = 4)
+    }),
+
+    // IVF coarse-quantizer ANN (rows-only check: centroid training is
+    // engine-side k-means; recall/subset properties are spec-gated)
+    "q_ivf_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 3,
+        nlist = 8, nProbe = 3)
     }),
 
     "q_cosine_neardups" -> ((s, dir) => {
@@ -328,6 +342,12 @@ object SparkEntry {
           |  CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS token_count
           |FROM documents ORDER BY doc_id""".stripMargin,
+
+      "q_text_bpe_tokens" ->
+        s"""SELECT doc_id,
+           |  CAST(len(regexp_extract_all(COALESCE(text, ''),
+           |    '${TextOps.bpeTokenPattern.replace("'", "''")}')) AS INTEGER) AS bpe_tokens
+           |FROM documents ORDER BY doc_id""".stripMargin,
 
       "q_text_quality" ->
         """WITH t AS (

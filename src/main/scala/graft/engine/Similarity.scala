@@ -185,4 +185,106 @@ object Similarity {
     srpFrame(corpus, idCol, vecCol, bits)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket).count()
+
+  // ------------------------------------------------------------------
+  // IVF (inverted-file) ANN — the alternative scale path to SRP-LSH:
+  // a k-means coarse quantizer partitions the corpus into nlist cells;
+  // queries probe only their nProbe nearest cells, cutting the candidate
+  // join fan-out by ~nlist/nProbe with much better recall control than a
+  // single LSH table. Centroids are tiny (nlist × dim) and broadcast.
+  // ------------------------------------------------------------------
+
+  private def l2(a: Array[Float], c: Array[Double]): Double = {
+    var d = 0.0; var i = 0
+    val n = math.min(a.length, c.length)
+    while (i < n) { val x = a(i) - c(i); d += x * x; i += 1 }
+    d
+  }
+
+  /** Deterministic driver-side Lloyd's k-means over a bounded sample (the
+    * standard IVF training shape: the quantizer trains on a sample, never
+    * the full corpus). Init = evenly spaced sample vectors by id order; no
+    * RNG anywhere, so training is reproducible across runs and cluster
+    * sizes. Empty cells keep their previous centroid. */
+  def trainCentroids(
+      corpus: DataFrame, nlist: Int, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<float>")).as[Array[Float]].collect()
+    require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
+    val k = math.min(nlist, sample.length)
+    var cents = Array.tabulate(k)(j => sample(j * sample.length / k).map(_.toDouble))
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(k)(new Array[Double](cents(0).length))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) { val d = l2(v, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1 }
+        counts(best) += 1
+        val s = sums(best)
+        var i = 0
+        while (i < math.min(v.length, s.length)) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(j =>
+        if (counts(j) == 0) cents(j)
+        else sums(j).map(_ / counts(j)))
+    }
+    cents
+  }
+
+  /** (id, vec, cell) assignment against broadcast centroids — typed
+    * projection, no shuffle. */
+  private def cellFrame(
+      df: DataFrame, idCol: String, vecCol: String,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Double]]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<float>").as("vec"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { iter =>
+        val cents = bc.value
+        iter.map { case (id, vec) =>
+          var best = 0; var bestD = Double.MaxValue
+          var j = 0
+          while (j < cents.length) {
+            val d = l2(vec, cents(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+          }
+          (id, vec, best)
+        }
+      }
+      .toDF("id", "vec", "cell")
+  }
+
+  /** IVF top-k: corpus vectors live in their nearest-centroid cell; each
+    * query probes its `nProbe` nearest cells and scores exact cosine only
+    * against those cells' members. Corpus cells are disjoint, so no
+    * candidate dedup is needed. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nProbe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val bc = spark.sparkContext.broadcast(cents)
+    val c = cellFrame(corpus, idCol, vecCol, bc)
+      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
+    val q = queries
+      .select(col(idCol).cast(LongType).as("id_a"),
+        col(vecCol).cast("array<float>").as("vec_a"))
+      .as[(Long, Array[Float])]
+      .flatMap { case (id, vec) =>
+        val cs = bc.value
+        cs.indices.map(j => (j, l2(vec, cs(j)))).sortBy(_._2)
+          .take(nProbe).map { case (cell, _) => (id, vec, cell) }
+      }
+      .toDF("id_a", "vec_a", "cell")
+    rankTopK(scorePairs(
+      c.join(broadcast(q), "cell").where(col("id_b") =!= col("id_a"))
+        .select("id_a", "id_b", "vec_a", "vec_b")), k)
+  }
 }

@@ -69,6 +69,20 @@ object TextOps {
     when(best._2 === 0, lit("unknown")).otherwise(best._1)
   }
 
+  /** BPE-style pre-tokenizer pattern (GPT-2 shape, simplified): contraction
+    * suffixes, space-prefixed letter runs, digit runs, symbol runs, and
+    * whitespace runs. Deliberately lookahead-free so Java regex (Spark) and
+    * RE2 (the DuckDB oracle) agree; ordered alternation puts contractions
+    * before the symbol run so `don't` counts as [don]['t]. */
+  val bpeTokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** Token count under the BPE-style pre-tokenizer — the "how many LLM-ish
+    * tokens is this corpus" estimator (whitespace tokenCount undercounts
+    * punctuation-heavy text). Pure codegen `regexp_count`. */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(bpeTokenPattern))
+
   /** Canonical document fingerprint: md5 of whitespace-normalized lowercase
     * text — the exact-dedup key (md5 exists in both Spark and DuckDB). */
   def fingerprint(text: Column): Column =

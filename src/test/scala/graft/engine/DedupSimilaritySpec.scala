@@ -65,6 +65,43 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF topK: sims are exact on probed candidates, training is deterministic, recall is high") {
+    val queries = emb.where(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopK(emb, queries, 3, nlist = 8, nProbe = 3).collect()
+    assert(ivf.nonEmpty)
+    // sims must agree with the exact computation (IVF only restricts candidates)
+    val exactAll = Similarity.bruteForceTopK(emb, queries, 499).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      assert(exactAll.contains(key))
+      assert(math.abs(exactAll(key) - r.getDouble(3)) < 1e-9)
+    }
+    // recall@3 vs brute force with 3/8 cells probed
+    val exactTop = Similarity.bruteForceTopK(emb, queries, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exactTop.count(got.contains).toDouble / exactTop.size
+    assert(recall >= 0.5, s"IVF recall@3 too low: $recall")
+    // deterministic across runs (no RNG in training or assignment)
+    val again = Similarity.ivfTopK(emb, queries, 3, nlist = 8, nProbe = 3).collect()
+    assert(ivf.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("BPE-ish token count: contractions, digit runs and symbol runs counted") {
+    import spark.implicits._
+    val rows = Seq(
+      ("don't stop", 3),            // [don]['t][ stop]
+      ("hello world", 2),
+      ("a1b2", 4),                  // [a][1][b][2]
+      ("wait... what?!", 4),        // [wait][...][ what][?!]
+      ("", 0))
+      .toDF("text", "expected")
+    val got = rows.select(col("expected"),
+      TextOps.bpeTokenCount(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getInt(1) === r.getInt(0), r.toString))
+  }
+
   test("cosine near-dups finds injected near-identical twins") {
     val twins = emb.where(col("vec_id") % 100 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000)

@@ -230,7 +230,32 @@ object SparkEntry {
       MediaOps.extractFeatures(MediaOps.syntheticMedia(s)).toDF()
         .select(col("media_ref"), col("mime"), col("width"), col("height"),
           col("frames"), round(Similarity.cosine(col("feature"), col("feature")), 3).as("self_sim"))
-        .orderBy("media_ref"))
+        .orderBy("media_ref")),
+
+    // real resize: Spark decodes + bilinear-rescales + re-encodes the PNG;
+    // the oracle recomputes expected dims from the construction formulas
+    "q_media_resize" -> ((s, dir) =>
+      MediaOps.resizeImages(MediaOps.syntheticMedia(s), maxDim = 16).toDF()
+        .select("media_ref", "mime", "width", "height")
+        .orderBy("media_ref")),
+
+    // winnowing fingerprint overlap between originals and their mutated
+    // twins (rows-only: rolling hash is engine-side; spec gates semantics)
+    "q_winnow_overlap" -> ((s, dir) => {
+      val corpus = TextOps.withMutatedTwins(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text")
+      val fp = TextOps.winnowingFingerprints(corpus, "doc_id", "text")
+      val orig = fp.where(col("id") >= 0 && col("id") % 50 === 0)
+        .select(col("id"), col("fingerprints").as("fp_o"))
+      val twin = fp.where(col("id") < 0)
+        .select((-col("id") - 1).as("id"), col("fingerprints").as("fp_t"))
+      orig.join(twin, "id")
+        .select(col("id"),
+          size(col("fp_o")).as("n_orig"),
+          size(array_intersect(col("fp_o"), col("fp_t"))).as("shared"))
+        .orderBy("id")
+    })
   )
 
   /** DuckDB mirrors. Column names must match the Spark outputs exactly. */
@@ -535,7 +560,35 @@ object SparkEntry {
           |            WHEN bytes % 3 = 1 THEN 32 + i % 64
           |            ELSE 1 + i % 30 END AS INTEGER) AS frames,
           |  1.0 AS self_sim
-          |FROM cat ORDER BY media_ref""".stripMargin
+          |FROM cat ORDER BY media_ref""".stripMargin,
+
+      // resize mirror: scale = min(1, 16/max(w,h)) over the PNG construction
+      // dims; floor() matches the engine's toInt truncation; non-images pass
+      // through their decoded dims untouched
+      "q_media_resize" ->
+        """WITH cat AS (
+          |  SELECT i, i * 1024 + 64 AS bytes, 'm-' || CAST(i AS VARCHAR) AS media_ref
+          |  FROM range(0, 200) t(i)),
+          |dims AS (
+          |  SELECT media_ref,
+          |    CASE WHEN bytes % 3 = 0 THEN 'image/png'
+          |         WHEN bytes % 3 = 1 THEN 'audio/wav'
+          |         ELSE 'video/mp4' END AS mime,
+          |    CASE WHEN bytes % 3 = 0 THEN 8 + i % 24
+          |         WHEN bytes % 3 = 1 THEN 0
+          |         ELSE 16 + (i * 3) % 48 END AS w,
+          |    CASE WHEN bytes % 3 = 0 THEN 8 + (i * 7) % 24
+          |         WHEN bytes % 3 = 1 THEN 0
+          |         ELSE 16 + (i * 5) % 48 END AS h
+          |  FROM cat)
+          |SELECT media_ref, mime,
+          |  CAST(CASE WHEN mime = 'image/png'
+          |    THEN GREATEST(1, FLOOR(w * LEAST(1.0, 16.0 / GREATEST(w, h))))
+          |    ELSE w END AS INTEGER) AS width,
+          |  CAST(CASE WHEN mime = 'image/png'
+          |    THEN GREATEST(1, FLOOR(h * LEAST(1.0, 16.0 / GREATEST(w, h))))
+          |    ELSE h END AS INTEGER) AS height
+          |FROM dims ORDER BY media_ref""".stripMargin
     )
   }
 }

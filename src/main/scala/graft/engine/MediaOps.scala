@@ -177,4 +177,45 @@ object MediaOps {
     * index up to `frames` — pure Column logic, no decode needed. */
   def sampleFrameIndexes(frames: org.apache.spark.sql.Column, stride: Int): org.apache.spark.sql.Column =
     filter(sequence(lit(0), frames - 1), i => i % stride === 0)
+
+  /** One resized image row. */
+  case class ResizedMedia(media_ref: String, mime: String,
+      width: Int, height: Int, payload: Array[Byte])
+
+  /** Real image resize (JDK-only: Graphics2D bilinear draw + PNG re-encode)
+    * for image rows, batched per partition like [[extractFeatures]] — the
+    * thumbnailing stage of a multimodal training pipeline. Non-image rows
+    * are passed through untouched with their original dimensions. */
+  def resizeImages(media: DataFrame, maxDim: Int): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .repartition(col("media_ref"))
+      .select("media_ref", "mime", "payload")
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (ref, mime, payload) =>
+          if (!mime.startsWith("image/")) {
+            val (w, h, _, _) = Decoder.decode(mime, payload)
+            ResizedMedia(ref, mime, w, h, payload)
+          } else {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            require(img != null, "undecodable image payload")
+            val scale = math.min(1.0, maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+            val (w, h) = (math.max(1, (img.getWidth * scale).toInt),
+              math.max(1, (img.getHeight * scale).toInt))
+            val out = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = out.createGraphics()
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, w, h, null)
+            g.dispose()
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(out, "png", bos)
+            ResizedMedia(ref, mime, w, h, bos.toByteArray)
+          }
+        }
+      }
+  }
 }

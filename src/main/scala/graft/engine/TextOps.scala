@@ -88,6 +88,61 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5(to_binary(lower(regexp_replace(trim(text), "\\s+", " ")), lit("utf-8")))
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): rolling
+    * polynomial hash over character k-grams, keep the minimum hash of each
+    * sliding window (rightmost-min tie-break). Robust to insertions — two
+    * documents sharing long runs share fingerprints — the classic
+    * plagiarism/near-dup signature. Returns a typed-projection frame
+    * (id, fingerprints: array<long>); at corpus scale the fingerprints
+    * explode into an inverted index (fingerprint → ids) exactly like the
+    * minhash band join. */
+  def winnowingFingerprints(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+        (id, winnow(text, k, window))
+      })
+      .toDF("id", "fingerprints")
+  }
+
+  private[engine] def winnow(text: String, k: Int, window: Int): Seq[Long] = {
+    if (text.length < k) {
+      if (text.isEmpty) Seq.empty else Seq(rollHash(text, 0, text.length))
+    } else {
+      val n = text.length - k + 1
+      val hashes = new Array[Long](n)
+      var i = 0
+      while (i < n) { hashes(i) = rollHash(text, i, k); i += 1 }
+      // minimum per window, rightmost on ties; dedup consecutive picks
+      val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+      var w = 0
+      val wins = math.max(1, n - window + 1)
+      while (w < wins) {
+        var best = w
+        var j = w
+        val end = math.min(w + window, n)
+        while (j < end) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+        out += hashes(best)
+        w += 1
+      }
+      out.toSeq
+    }
+  }
+
+  private def rollHash(s: String, from: Int, len: Int): Long = {
+    var h = 0L
+    var i = from
+    val end = from + len
+    while (i < end) { h = h * 1000003L + s.charAt(i); i += 1 }
+    h ^ (h >>> 33)
+  }
+
   /** Exact near-dup corpus for tests/benches: every doc whose id hits the
     * dup rate gets a mutated twin, so near-dup detection has known answers. */
   def withMutatedTwins(docs: DataFrame, idCol: String, textCol: String, rate: Int = 50): DataFrame = {

@@ -131,6 +131,40 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(sampled === 200)
   }
 
+  test("image resize: real decode of the resized payload matches reported dims, bounded by maxDim") {
+    val resized = MediaOps.resizeImages(MediaOps.syntheticMedia(spark), maxDim = 16)
+      .collect()
+    assert(resized.length === 200)
+    resized.filter(_.mime == "image/png").foreach { r =>
+      assert(r.width <= 16 && r.height <= 16, s"${r.media_ref}: ${r.width}x${r.height}")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      assert(img.getWidth === r.width && img.getHeight === r.height)
+    }
+    // non-images pass through byte-identical
+    val orig = MediaOps.syntheticMedia(spark).select("media_ref", "payload").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    resized.filterNot(_.mime == "image/png").foreach(r =>
+      assert(r.payload.sameElements(orig(r.media_ref))))
+  }
+
+  test("winnowing fingerprints: stable under runs, robust to append, distinct for distinct text") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running through the field " * 4
+    val df = Seq(
+      (0L, base),
+      (1L, base),                                  // identical
+      (2L, base + " with a small appended suffix"), // near-dup
+      (3L, "an entirely different document about database engines and storage layouts " * 4))
+      .toDF("doc_id", "text")
+    val fp = TextOps.winnowingFingerprints(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fp(0L) === fp(1L))
+    val overlap2 = fp(0L).intersect(fp(2L)).size.toDouble / fp(0L).size
+    assert(overlap2 > 0.8, s"append should keep most fingerprints, got $overlap2")
+    val overlap3 = fp(0L).intersect(fp(3L)).size.toDouble / fp(0L).size
+    assert(overlap3 < 0.2, s"distinct text should share few fingerprints, got $overlap3")
+  }
+
   test("text quality scores stay in [0,1] and language id hits the label often") {
     val q = docs.select(TextOps.qualityColumns(coalesce(col("text"), lit("")))
       .map { case (n, c) => c.as(n) }: _*).collect()

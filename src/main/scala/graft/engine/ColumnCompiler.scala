@@ -993,6 +993,21 @@ object ColumnCompiler {
     // per-field subschema → Some(conds) if fully vectorizable
     def fieldConds(sub0: JVal, fname: String, ft: DataType, nullable: Boolean): Option[Seq[Column]] = {
       val arrF = arrCol.getField(fname)
+      val ftJson = try Some(jsonTypeOf(ft)) catch { case _: Unsupported => None }
+      // scalar enum/const entries: a null field value means the property is
+      // ABSENT (gated out), so nullable fields get a null sentinel in the
+      // allowed list (array_except treats null as a distinct removable
+      // value — codegen'd, unlike array_compact/filter). Type-incompatible
+      // entries can never equal a typed column value and are dropped.
+      def allowedValuesCond(items: Vector[JVal]): Option[Seq[Column]] =
+        if (!items.forall(i =>
+            i.isInstanceOf[JStr] || i.isInstanceOf[JNum] || i.isInstanceOf[JBool])) None
+        else ftJson.map { jt =>
+          val comparable = items.filter(literalComparable(_, jt)).map(literal)
+          val allowed = if (nullable) comparable :+ lit(null).cast(ft) else comparable
+          if (allowed.isEmpty) Seq(size(arrCol) === 0)
+          else Seq(size(array_except(arrF, array(allowed: _*))) === 0)
+        }
       sub0 match {
         case JBool(true) | JNull => Some(Nil)
         case o: JObj if o.has("$ref") => None
@@ -1006,12 +1021,8 @@ object ColumnCompiler {
                 case _           => return None
               }
               if (typeCompatible(allowed, ft, nullable)) Some(Nil) else None
-            case ("enum", JArr(items)) if !nullable && items.forall(i =>
-                i.isInstanceOf[JStr] || i.isInstanceOf[JNum] || i.isInstanceOf[JBool]) =>
-              Some(Seq(size(array_except(arrF, array(items.map(literal): _*))) === 0))
-            case ("const", c) if !nullable &&
-                (c.isInstanceOf[JStr] || c.isInstanceOf[JNum] || c.isInstanceOf[JBool]) =>
-              Some(Seq(size(array_except(arrF, array(literal(c)))) === 0))
+            case ("enum", JArr(items)) => allowedValuesCond(items)
+            case ("const", c) => allowedValuesCond(Vector(c))
             case ("minimum", b: JNum) if numericType(ft) =>
               // array_min skips null elements — matches the non-null gating
               Some(Seq(coalesce(array_min(arrF) >= literal(b), lit(true))))
@@ -1052,10 +1063,20 @@ object ColumnCompiler {
             // non-null struct elements are always objects
             if (allowed.contains("object")) Some(Nil) else None
           case ("required", JArr(reqs)) =>
-            val names = reqs.collect { case JStr(n) => n }
-            if (names.forall(n => elem.fields.exists(f => f.name == n && !f.nullable)))
-              Some(Nil)
-            else None
+            // non-nullable field: statically present. Nullable field:
+            // null-presence detected with codegen'd array_intersect against
+            // a null singleton (null field value = absent property). Field
+            // missing from the struct entirely: required fails whenever the
+            // array is non-empty.
+            Some(reqs.collect { case JStr(n) => n }.flatMap { n =>
+              elem.fields.find(_.name == n) match {
+                case Some(f) if !f.nullable => Nil
+                case Some(f) =>
+                  Seq(size(array_intersect(arrCol.getField(n),
+                    array(lit(null).cast(f.dataType)))) === 0)
+                case None => Seq(size(arrCol) === 0)
+              }
+            })
           case ("properties", props: JObj) =>
             val perField = props.fields.map { case (fname, sub0) =>
               elem.fields.find(_.name == fname) match {

@@ -45,6 +45,17 @@ object StreamingChecks {
       .withColumn("valid", size(col("errors")) === 0)
   }
 
+  /** Streaming exact dedup on a key within the watermark horizon:
+    * `dropDuplicatesWithinWatermark` keeps state only for the watermark
+    * window (bounded state — a plain dropDuplicates would grow state
+    * forever on an unbounded doc_id stream). */
+  def streamingDedup(
+      stream: DataFrame, keyCol: String, tsCol: String,
+      watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   final case class PartitionCounts(partition: Int, passCount: Long, failCount: Long)
 
   /** Running per-partition pass/fail counts over a validated stream —

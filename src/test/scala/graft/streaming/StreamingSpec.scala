@@ -59,4 +59,28 @@ class StreamingSpec extends AnyFunSuite {
       assert(totalFail >= 1, s"doc 97 must fail validation: $rows")
     } finally q.stop()
   }
+
+  test("streaming dedup within watermark drops repeated doc ids with bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingChecks.streamingDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), "doc_id", "ts", "2 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2026-01-01 00:00:10"), 1L, "first"),
+        (t("2026-01-01 00:00:20"), 1L, "dup within watermark"),
+        (t("2026-01-01 00:00:30"), 2L, "other"))
+      q.processAllAvailable()
+      // advance event time far past the watermark so results flush
+      input.addData((t("2026-01-01 01:00:00"), 3L, "late bucket"))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM dedup_stream").collect().map(_.getLong(0))
+      assert(ids.count(_ == 1L) === 1, s"doc 1 must be emitted exactly once: ${ids.mkString(",")}")
+      assert(ids.contains(2L))
+    } finally q.stop()
+  }
 }

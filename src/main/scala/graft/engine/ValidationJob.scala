@@ -17,16 +17,28 @@ import org.apache.spark.sql.types._
 object ValidationJob {
 
   /** `docs` must carry the interleaved shape (doc_id, spans) — extra columns
-    * pass through. Adds `valid` + `errors`. */
+    * pass through. Adds `valid` + `errors`.
+    *
+    * Two-projection shape: `valid` comes from the lambda-free boolean plan
+    * (whole-stage codegen'd — any CodegenFallback expression in a projection
+    * disables codegen for the WHOLE operator), and the error-construction
+    * expression — which needs per-element lambdas for paths/messages — runs
+    * in a second thin projection gated on the precomputed boolean, so valid
+    * rows pay one boolean column read instead of an interpreted tree walk.
+    * The boolean plan ≡ (errors is empty) invariant is fuzz-checked
+    * (RandomDocsSpec/RandomSchemaSpec differentials). */
   def withVerdicts(spark: SparkSession, docs: DataFrame, schemaJson: String): DataFrame = {
     val doc = SchemaDoc.schema(schemaJson)
     val payloadFields = docs.schema.fields.filter(f => f.name == "doc_id" || f.name == "spans")
     val payloadType = StructType(payloadFields)
     val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
     try {
+      val boolPlan = ColumnCompiler.valid(doc, payload, payloadType)
       val errs = ColumnCompiler.errors(doc, payload, payloadType)
-      docs.withColumn("errors", errs)
-        .withColumn("valid", size(col("errors")) === 0)
+      docs.withColumn("valid", boolPlan)
+        .withColumn("errors",
+          when(col("valid"), array().cast(ColumnCompiler.errorType)).otherwise(errs))
+        .select((docs.columns.map(col).toSeq :+ col("errors") :+ col("valid")): _*)
     } catch {
       case _: ColumnCompiler.Unsupported =>
         // validate the same payload fields the Column path would — NOT the

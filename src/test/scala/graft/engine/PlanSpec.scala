@@ -45,7 +45,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("filter pushdown reaches the parquet scan") {
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    // fresh temp parquet: another suite may have .cache()d the shared events
+    // table, which would substitute an InMemoryRelation and hide the scan
+    val tmp = java.nio.file.Files.createTempDirectory("graft-pushdown").toString
+    spark.read.parquet(s"$sfDir/events.parquet").write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
       .where(col("event_id") > 100).select("event_id", "value")
     val scan = df.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,100)]") ||

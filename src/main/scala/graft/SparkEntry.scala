@@ -157,6 +157,23 @@ object SparkEntry {
         .orderBy("id_a")
     }),
 
+    // dedup clustering: distributed min-label propagation over exact-dup
+    // pairs; the oracle recomputes components independently (per-fingerprint
+    // min over the same corpus), a true differential for the iterative join
+    "q_dedup_components" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      val fp = corpus.select(col("doc_id").as("id"),
+        TextOps.fingerprint(coalesce(col("text"), lit(""))).as("f"))
+      val pairs = fp.select(col("f"), col("id").as("id_a"))
+        .join(fp.select(col("f"), col("id").as("id_b")), "f")
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.components(pairs)
+    }),
+
     // LSH candidate generation is hash-function-specific → rows-only checks;
     // EngineSpec asserts recall of the known twins.
     "q_minhash_pairs" -> ((s, dir) =>
@@ -432,6 +449,19 @@ object SparkEntry {
           |SELECT md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS fingerprint,
           |  COUNT(*) AS cnt
           |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
+
+      "q_dedup_components" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+          |fp AS (SELECT doc_id AS id,
+          |  md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
+          |  FROM corpus),
+          |dup AS (SELECT f FROM fp GROUP BY 1 HAVING COUNT(*) > 1)
+          |SELECT id, MIN(id) OVER (PARTITION BY f) AS component
+          |FROM fp JOIN dup USING (f)
+          |ORDER BY id""".stripMargin,
 
       "q_ngram_jaccard" ->
         """WITH corpus AS (

@@ -255,6 +255,62 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Connected components over a near-dup pair frame (id_a, id_b):
+    * deterministic min-label propagation — every node ends labeled with the
+    * smallest id in its component. This is the clustering stage of a dedup
+    * pipeline (one canonical doc kept per component).
+    *
+    * Each iteration is one shuffle join (edges ⋈ labels) + one min-agg;
+    * iterations needed = graph diameter, which for near-dup clusters is
+    * small (dup groups are near-cliques). The iteration cap is a safety
+    * rail — hitting it raises rather than returning wrong labels. At
+    * extreme scale swap in star-contraction (O(log n) rounds); the
+    * per-round plan (join + partial-agg min) is the same shape. */
+  def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // localCheckpoint (not just persist) each round: `labels` feeds the next
+    // iteration TWICE (neighbor lookup + self), so without lineage
+    // truncation the logical plan doubles per iteration and the analyzer
+    // cost explodes exponentially. On a cluster swap for a reliable
+    // checkpoint dir (same call shape).
+    val sym = pairs.select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
+      .union(pairs.select(col("id_b").cast(LongType).as("src"), col("id_a").cast(LongType).as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"component propagation did not converge in $maxIters iterations")
+      // min label over self + neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("component").as("nbr_label")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr_label")).as("min_nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.orderBy("id")
+  }
+
+  /** Canonical-doc selection: keep the smallest-id member of every dup
+    * component, pass through docs that appear in no pair. */
+  def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comp = components(pairs)
+    docs.join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .where(col("component").isNull || col("component") === col(idCol))
+      .drop("component")
+  }
+
   /** Count of simhash block-buckets above the [[simhashPairs]] skew cap —
     * same block hashing as the pruning. */
   def simhashSkewedBuckets(

@@ -88,6 +88,25 @@ class Round2FixSpec extends AnyFunSuite {
     assert(Similarity.cosineNearDups(emb, 0.99, bits = 4, maxBucket = 100).count() === 0)
   }
 
+  test("connected components: chains, separate clusters, canonicalization") {
+    // chain 1-2-3-4 (diameter 3), separate pair 10-11, star 20-(21,22,23)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (20L, 21L), (20L, 22L), (20L, 23L)).toDF("id_a", "id_b")
+    val comp = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+    // long path exercises multi-iteration propagation
+    val path = (0L until 12L).sliding(2).map(s => (s(0), s(1))).toSeq.toDF("id_a", "id_b")
+    val pathComp = Dedup.components(path).collect().map(_.getLong(1)).distinct
+    assert(pathComp === Array(0L))
+    // canonicalize keeps exactly the min-id member per cluster + singletons
+    val docs = (1L to 5L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val kept = Dedup.canonicalize(docs, Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 4L, 5L))
+  }
+
   test("enum/const against a type-incompatible column is invalid, not an ANSI crash") {
     val df = Seq(("a", "hello", 5L), ("b", "3", 7L)).toDF("id", "s", "n")
     val payload = struct(col("s"), col("n"))

@@ -656,14 +656,21 @@ object Validator {
 
     // ---- content keywords (validate.cljc:697-739) ----
     case "contentEncoding" =>
-      (instance, v) match {
-        case (JStr(s), JStr("base64")) =>
-          // NB: reference quirk — the decoded value is *discarded* here
-          // (the `(try {...} nil ...)` body returns nil); only decode
-          // *failure* is observable (validate.cljc:706-717).
-          try { java.util.Base64.getDecoder.decode(s); NoOp }
-          catch { case _: IllegalArgumentException =>
-            KwOut(errors = one(path, kw, "Not base64")) }
+      instance match {
+        case JStr(s) =>
+          // NB: reference quirks — (a) the decoded value is *discarded* on
+          // success (the `(try {...} nil ...)` body returns nil); only
+          // decode failure is observable; (b) `decode-content`'s `case`
+          // throws for any encoding other than "base64"/nil, and the
+          // surrounding try reports that as "Not base64" too
+          // (validate.cljc:697-717).
+          v match {
+            case JStr("base64") =>
+              try { java.util.Base64.getDecoder.decode(s); NoOp }
+              catch { case _: IllegalArgumentException =>
+                KwOut(errors = one(path, kw, "Not base64")) }
+            case _ => KwOut(errors = one(path, kw, "Not base64"))
+          }
         case _ => NoOp
       }
 
@@ -671,10 +678,13 @@ object Validator {
       (instance, v) match {
         case (JStr(s), JStr(mt)) =>
           val decoded: Option[String] = schema.get("contentEncoding") match {
+            case None => Some(s)
             case Some(JStr("base64")) =>
               try Some(new String(java.util.Base64.getDecoder.decode(s), "UTF-8"))
               catch { case _: IllegalArgumentException => None }
-            case _ => Some(s)
+            // unknown encodings fail decode-content inside the reference's
+            // try → "Unable to decode content" (validate.cljc:727-731, 740)
+            case Some(_) => None
           }
           decoded match {
             case None => KwOut(errors = one(path, kw, "Unable to decode content"))
@@ -683,7 +693,11 @@ object Validator {
                 try KwOut(instance = Some(Json.parse(content)))
                 catch { case _: Exception =>
                   KwOut(errors = one(path, kw, "Instance is not application/json")) }
-              case _ => NoOp // the reference would throw on unknown media types; we pass
+              case other =>
+                // faithful to the reference: the un-defaulted `case` on the
+                // media type throws OUT of validation (validate.cljc:732-739)
+                throw new IllegalArgumentException(
+                  s"No matching clause: $other (unsupported contentMediaType)")
             }
           }
         case _ => NoOp

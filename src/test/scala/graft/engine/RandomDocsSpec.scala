@@ -91,11 +91,11 @@ class RandomDocsSpec extends AnyFunSuite {
     assert(joined.where(!col("valid")).count() > 0)
   }
 
-  test("random docs, nullable span fields (lambda plan) — verdicts + violations agree") {
+  test("random docs, nullable span fields (null-aware vectorized plan) — verdicts + violations agree") {
     differential(nullableFields = true, seed = 7L)
   }
 
-  test("random docs, non-nullable span fields (vectorized plan) — verdicts + violations agree") {
+  test("random docs, non-nullable span fields (static vectorized plan) — verdicts + violations agree") {
     differential(nullableFields = false, seed = 11L)
   }
 }

@@ -30,11 +30,17 @@ class RandomSchemaSpec extends AnyFunSuite {
     Gen.choose(-10, 100).map(n => JObj.of("minimum" -> jnum(n))),
     Gen.choose(-10, 100).map(n => JObj.of("maximum" -> jnum(n))),
     Gen.choose(1, 7).map(n => JObj.of("multipleOf" -> jnum(n))),
+    Gen.choose(0, 64).map(n => JObj.of("const" -> jnum(n))),
+    // type-incompatible entry (string in a numeric enum) must be statically
+    // false in the column paths, not an ANSI cast error
+    Gen.const(JObj.of("enum" -> JArr(Vector(jnum(0), jnum(16), jstr("zero"))))),
     Gen.const(JObj.of("type" -> JArr(Vector(jstr("integer"), jstr("null"))))))
 
   private val spanItemSchema: Gen[JObj] = for {
     kindPred <- Gen.oneOf(
       JObj.of("enum" -> JArr(Vector(jstr("text"), jstr("media")))),
+      // mixed-type entries: the numeric can never match a string column
+      JObj.of("enum" -> JArr(Vector(jstr("text"), jnum(7)))),
       JObj.of("const" -> jstr("text")),
       JObj.of("type" -> jstr("string")))
     offPred <- intPred

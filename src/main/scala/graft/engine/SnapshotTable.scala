@@ -129,17 +129,25 @@ object CheckpointedValidation {
       val docs = ParquetSnapshotTable.readBucket(spark, snap, b)
       val verdicts = ValidationJob.withVerdicts(spark, docs, schemaJson)
       val out = s"$outDir/bucket=$b"
+      // lineage metrics ride the write job via the Observation API — one
+      // scan per bucket instead of write-then-aggregate reading twice
+      val obs = org.apache.spark.sql.Observation(s"graft_bucket_$b")
       verdicts.drop("bucket")
         .repartition(filesPerBucket, pmod(hash(col("doc_num")), lit(filesPerBucket)))
         .sortWithinPartitions("doc_num") // deterministic file content
+        .observe(obs,
+          count(lit(1)).as("rows"),
+          sum(when(col("valid"), 1L).otherwise(0L)).as("pass"),
+          sum(when(col("valid"), 0L).otherwise(1L)).as("fail"),
+          sum(size(col("errors")).cast("long")).as("violations"))
         .write.mode(SaveMode.Overwrite).parquet(out)
-      val stats = verdicts.agg(
-        count(lit(1)), sum(when(col("valid"), 1L).otherwise(0L)),
-        sum(when(col("valid"), 0L).otherwise(1L)), sum(size(col("errors")).cast("long")))
-        .collect()(0)
+      val m = obs.get
+      def l(k: String): Long = m.get(k) match {
+        case Some(x: Long) => x
+        case _ => 0L
+      }
       checkpoint.record(checkpoint.BucketLineage(
-        b, snap.snapshotId, stats.getLong(0), stats.getLong(1), stats.getLong(2),
-        if (stats.isNullAt(3)) 0L else stats.getLong(3), out))
+        b, snap.snapshotId, l("rows"), l("pass"), l("fail"), l("violations"), out))
       processed :+= b
     }
     processed

@@ -45,6 +45,41 @@ object StreamingChecks {
       .withColumn("valid", size(col("errors")) === 0)
   }
 
+  /** Per-window histogram bins over a value stream — the streaming substrate
+    * for drift monitoring. One watermarked stateful aggregation; emit in
+    * append mode once the watermark passes, then score completed windows
+    * with [[windowDriftScores]] (e.g. inside `foreachBatch`, the standard
+    * two-stage shape since chained stateful aggs are restricted). */
+  def windowedBins(
+      stream: DataFrame, tsCol: String, valueCol: String, binWidth: Double,
+      windowDuration: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration),
+        floor(col(valueCol) / binWidth).cast(IntegerType).as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("bin"), col("n"))
+
+  /** Batch scoring of completed windows against a reference histogram
+    * (from a prior snapshot's [[graft.engine.Checks.driftBins]]): PSI per
+    * window via [[graft.engine.Drift]]. Tiny frames (one row per
+    * window×bin) — collected and scored on the driver. */
+  def windowDriftScores(
+      bins: DataFrame, refCounts: Map[Int, Long]): Seq[(java.sql.Timestamp, Double)] = {
+    val byWindow = bins.collect()
+      .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+    byWindow.toSeq.sortBy(_._1.getTime).map { case (w, rows) =>
+      val cur = rows.map(r => r._2 -> r._3).toMap
+      val allBins = (refCounts.keySet ++ cur.keySet).toSeq.sorted
+      val psi = graft.engine.Drift.psi(
+        allBins.map(refCounts.getOrElse(_, 0L)),
+        allBins.map(cur.getOrElse(_, 0L)))
+      (w, psi)
+    }
+  }
+
   /** Streaming exact dedup on a key within the watermark horizon:
     * `dropDuplicatesWithinWatermark` keeps state only for the watermark
     * window (bounded state — a plain dropDuplicates would grow state

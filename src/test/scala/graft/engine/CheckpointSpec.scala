@@ -66,5 +66,18 @@ class CheckpointSpec extends AnyFunSuite {
       .select(col("doc_num"), col("doc_id"), col("valid"), size(col("errors")).as("nerr"))
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(slurp(outA).toSeq === slurp(outB).toSeq)
+
+    // lineage metrics (observed during the write) match the written data
+    val lineage = Files.readAllLines(
+      java.nio.file.Paths.get(cpBdir, "lineage.jsonl"))
+    assert(lineage.size === 6)
+    val written = spark.read.parquet(s"$outB/bucket=*")
+    val totRows = written.count()
+    val totPass = written.where(col("valid")).count()
+    def sumField(k: String): Long = lineage.toArray.map(_.toString)
+      .map(l => s""""$k": (\\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(sumField("rows") === totRows)
+    assert(sumField("pass_count") === totPass)
+    assert(sumField("fail_count") === totRows - totPass)
   }
 }

@@ -60,6 +60,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("windowed bins + drift scoring: streaming histogram matches batch PSI") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val bins = StreamingChecks.windowedBins(
+      input.toDF().toDF("ts", "value"), "ts", "value", binWidth = 10.0,
+      "1 minute", "2 minutes")
+    val q = bins.writeStream.format("memory").queryName("win_bins")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      // window 00:00 gets values in bins 0,0,1; then advance past watermark
+      input.addData((t("2026-01-01 00:00:05"), 1.0), (t("2026-01-01 00:00:15"), 9.0),
+        (t("2026-01-01 00:00:25"), 15.0))
+      q.processAllAvailable()
+      input.addData((t("2026-01-01 01:00:00"), 5.0)) // flushes the first window
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM win_bins ORDER BY window_start, bin")
+      val rows = emitted.collect()
+      assert(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq === Seq((0, 2L), (1, 1L)))
+      // PSI vs a reference histogram matches the batch Drift computation
+      val ref = Map(0 -> 10L, 1 -> 10L)
+      val scores = StreamingChecks.windowDriftScores(emitted, ref)
+      assert(scores.length === 1)
+      val expected = graft.engine.Drift.psi(Seq(10L, 10L), Seq(2L, 1L))
+      assert(math.abs(scores.head._2 - expected) < 1e-12)
+    } finally q.stop()
+  }
+
   test("streaming dedup within watermark drops repeated doc ids with bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -109,12 +109,16 @@ class RandomSchemaSpec extends AnyFunSuite {
       StructField("offset", IntegerType, nullable = true))),
       containsNull = false), nullable = true)))
 
-  test("random schemas × random docs: column plan ≡ row core (20 schemas × 60 docs)") {
+  // deep-fuzz knobs for one-off stress runs (defaults = CI-fast)
+  private val nSchemas = sys.env.getOrElse("GRAFT_FUZZ_SCHEMAS", "20").toInt
+  private val nDocs = sys.env.getOrElse("GRAFT_FUZZ_DOCS", "60").toInt
+
+  test(s"random schemas × random docs: column plan ≡ row core ($nSchemas schemas × $nDocs docs)") {
     var seed = rng.Seed(2026L)
     var fellBack = 0
-    (0 until 20).foreach { i =>
+    (0 until nSchemas).foreach { i =>
       val schema = docSchemaGen.pureApply(Gen.Parameters.default, seed); seed = seed.next
-      val docs = Gen.listOfN(60, docGen).pureApply(Gen.Parameters.default, seed); seed = seed.next
+      val docs = Gen.listOfN(nDocs, docGen).pureApply(Gen.Parameters.default, seed); seed = seed.next
       val schemaJson = Json.render(schema)
       val df = spark.createDataFrame(spark.sparkContext.parallelize(docs, 2), dfSchema)
         .withColumn("doc_num", monotonically_increasing_id())
@@ -141,6 +145,6 @@ class RandomSchemaSpec extends AnyFunSuite {
         }
       }
     }
-    info(s"schemas compiled: ${20 - fellBack}, row-core fallbacks: $fellBack")
+    info(s"schemas compiled: ${nSchemas - fellBack}, row-core fallbacks: $fellBack")
   }
 }

@@ -105,6 +105,10 @@ class Round2FixSpec extends AnyFunSuite {
     val kept = Dedup.canonicalize(docs, Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"), "doc_id")
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept === Array(1L, 4L, 5L))
+    // empty pair frame: no components, canonicalize passes everything through
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.components(noPairs).count() === 0)
+    assert(Dedup.canonicalize(docs, noPairs, "doc_id").count() === 5)
   }
 
   test("enum/const against a type-incompatible column is invalid, not an ANSI crash") {

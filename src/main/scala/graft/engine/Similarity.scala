@@ -205,13 +205,23 @@ object Similarity {
     * standard IVF training shape: the quantizer trains on a sample, never
     * the full corpus). Init = evenly spaced sample vectors by id order; no
     * RNG anywhere, so training is reproducible across runs and cluster
-    * sizes. Empty cells keep their previous centroid. */
+    * sizes. Empty cells keep their previous centroid.
+    *
+    * `sampleEvery` is the scale knob: the deterministic hash prefilter
+    * keeps ~1/sampleEvery of the corpus BEFORE the orderBy+limit, so the
+    * sort ranks only the sampled subset — never the full table. At 10^12
+    * rows set sampleEvery ≈ corpusSize / (2·sampleN); the default 1 (no
+    * prefilter) is only sensible at test scale. */
   def trainCentroids(
       corpus: DataFrame, nlist: Int, iters: Int = 10, sampleN: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleEvery: Int = 1): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val sample = corpus.orderBy(col(idCol)).limit(sampleN)
+    val prefiltered =
+      if (sampleEvery <= 1) corpus
+      else corpus.where(pmod(xxhash64(col(idCol)), lit(sampleEvery)) === 0)
+    val sample = prefiltered.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol).cast("array<float>")).as[Array[Float]].collect()
     require(sample.nonEmpty, "cannot train IVF centroids on an empty corpus")
     val k = math.min(nlist, sample.length)
@@ -266,10 +276,11 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleEvery: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val cents = trainCentroids(corpus, nlist, iters, sampleN, idCol, vecCol)
+    val cents = trainCentroids(corpus, nlist, iters, sampleN, idCol, vecCol, sampleEvery)
     val bc = spark.sparkContext.broadcast(cents)
     val c = cellFrame(corpus, idCol, vecCol, bc)
       .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))

@@ -41,6 +41,18 @@ object SparkEntry {
       ValidationJob.partitionVerdicts(verdicts(s, dir), col("doc_num"), 32)
         .orderBy("partition")),
 
+    // raw-JSON path: serialize each doc to a JSON line, then validate the
+    // parsed line with the full dynamic row core — same oracle as the
+    // compiled path, so the parse→validate pipeline is DuckDB-gated too
+    "q_jsonl_verdicts" -> ((s, dir) => {
+      import s.implicits._
+      val lines = docs(s, dir).select(col("doc_num"),
+        to_json(struct(col("doc_id"), col("spans")))).as[(Long, String)]
+      JsonLines.validateStrings(s, lines, DocTable.docSchemaJson)
+        .select(col("doc_num"), col("valid"), size(col("errors")).as("n_violations"))
+        .orderBy("doc_num")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Checks.duplicateKeys(docs(s, dir), "doc_id")),
 
@@ -318,6 +330,19 @@ object SparkEntry {
            |  UNION ALL
            |  SELECT doc_num, '/spans/' || idx || '/offset', 'minimum' FROM gspans WHERE "offset" < 0
            |) ORDER BY doc_num, path, keyword""".stripMargin,
+
+      "q_jsonl_verdicts" ->
+        s"""$W, span_viol AS (
+           |  SELECT doc_num, SUM(CASE WHEN kind = 'imag' THEN 1 ELSE 0 END)
+           |                + SUM(CASE WHEN "offset" < 0 THEN 1 ELSE 0 END) AS sviol
+           |  FROM gspans GROUP BY doc_num)
+           |SELECT d.doc_num, (nv.n = 0) AS valid, CAST(nv.n AS INTEGER) AS n_violations
+           |FROM gdocs d
+           |LEFT JOIN span_viol s USING (doc_num),
+           |LATERAL (SELECT (CASE WHEN regexp_matches(d.doc_id_str, '^doc-[0-9]+$$') THEN 0 ELSE 1 END)
+           |              + (CASE WHEN d.n_spans < 1 THEN 1 ELSE 0 END)
+           |              + COALESCE(s.sviol, 0) AS n) nv
+           |ORDER BY d.doc_num""".stripMargin,
 
       "q_partition_verdicts" ->
         s"""$W, span_viol AS (

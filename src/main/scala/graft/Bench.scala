@@ -128,6 +128,9 @@ object Bench {
     val levels = Seq(32, 16, 8, 4).map(c => c -> scalingRun(c)).toMap
     val dps = levels.view.mapValues(_._1).toMap
     val scan = levels.view.mapValues(_._2).toMap
+    // headline throughput must be measured AT the configured parallelism —
+    // run a dedicated level rather than mislabeling a neighbor's rate
+    val headlineDps = dps.getOrElse(cpus, scalingRun(cpus)._1)
     val eff4to16 = (dps(16) / dps(4)) / 4.0
     val eff8to32 = (dps(32) / dps(8)) / 4.0
     val scanEff8to32 = (scan(32) / scan(8)) / 4.0
@@ -138,7 +141,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","validated_docs":$docsN,""" +
-      s""""docs_per_sec":${f"${dps.getOrElse(cpus, dps(32))}%.0f"},""" +
+      s""""docs_per_sec":${f"$headlineDps%.0f"},""" +
       s""""docs_per_sec_verdict_only":${f"${docsN / verdictOnlySecs}%.0f"},""" +
       dps.toSeq.sorted.map { case (c, v) => s""""docs_per_sec_local$c":${f"$v%.0f"}""" }.mkString(",") + "," +
       scan.toSeq.sorted.map { case (c, v) => s""""scan_docs_per_sec_local$c":${f"$v%.0f"}""" }.mkString(",") + "," +

@@ -229,13 +229,17 @@ object Dedup {
     * `maxBucket` caps degenerate buckets (boilerplate corpora put thousands
     * of identical signatures in one bucket → O(bucket²)) with observability
     * via [[simhashSkewedBuckets]]. */
+  /** One key per pigeonhole block — shared by the pruning join and the skew
+    * metric so observability always describes the buckets actually used. */
+  private def simhashBlockKeys(maxHamming: Int): Column =
+    array(simhashBlocks(maxHamming).map { case (start, w) =>
+      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
+    }.toSeq: _*)
+
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 100000): DataFrame = {
-    val blocks = simhashBlocks(maxHamming)
-    val blockKeysCol = array(blocks.zipWithIndex.map { case ((start, w), _) =>
-      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
-    }.toSeq: _*)
+    val blockKeysCol = simhashBlockKeys(maxHamming)
     val exploded = simhashFrame(docs, idCol, textCol)
       .select(col("id"), col("sig"), posexplode(blockKeysCol).as(Seq("block", "key")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -315,14 +319,9 @@ object Dedup {
     * same block hashing as the pruning. */
   def simhashSkewedBuckets(
       docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 100000): Long = {
-    val blocks = simhashBlocks(maxHamming)
-    val blockKeysCol = array(blocks.map { case (start, w) =>
-      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
-    }.toSeq: _*)
+      maxHamming: Int = 3, maxBucket: Int = 100000): Long =
     simhashFrame(docs, idCol, textCol)
-      .select(posexplode(blockKeysCol).as(Seq("block", "key")))
+      .select(posexplode(simhashBlockKeys(maxHamming)).as(Seq("block", "key")))
       .groupBy("block", "key").agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket).count()
-  }
 }

@@ -27,10 +27,13 @@ object RowValidator {
       case (b: Byte, _)                   => JNum(BigDecimal(b.toInt))
       case (f: Float, _)                  => toJVal(f.toDouble, DoubleType)
       case (d: Double, _) =>
-        // BigDecimal cannot represent NaN/Infinity; approximate with an
-        // out-of-range decimal so comparisons behave like Spark's ordering
-        // (NaN and +Inf sort above every finite double) instead of crashing.
-        if (d.isNaN || d == Double.PositiveInfinity) JNum(BigDecimal("1e999"))
+        // BigDecimal cannot represent NaN/Infinity; approximate with
+        // DISTINCT out-of-range decimals so comparisons and equality behave
+        // like Spark's double semantics instead of crashing: NaN sorts above
+        // +Inf and everything else, NaN = NaN and Inf = Inf hold (Spark
+        // treats NaN as equal to itself), and NaN ≠ ±Inf.
+        if (d.isNaN) JNum(BigDecimal("1e1000"))
+        else if (d == Double.PositiveInfinity) JNum(BigDecimal("1e999"))
         else if (d == Double.NegativeInfinity) JNum(BigDecimal("-1e999"))
         else JNum(BigDecimal(d))
       case (d: java.math.BigDecimal, _)   => JNum(BigDecimal(d))

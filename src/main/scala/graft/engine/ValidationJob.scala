@@ -35,10 +35,11 @@ object ValidationJob {
     try {
       val boolPlan = ColumnCompiler.valid(doc, payload, payloadType)
       val errs = ColumnCompiler.errors(doc, payload, payloadType)
+      val passthrough = docs.columns.filterNot(c => c == "errors" || c == "valid")
       docs.withColumn("valid", boolPlan)
         .withColumn("errors",
           when(col("valid"), array().cast(ColumnCompiler.errorType)).otherwise(errs))
-        .select((docs.columns.map(col).toSeq :+ col("errors") :+ col("valid")): _*)
+        .select((passthrough.map(col).toSeq :+ col("errors") :+ col("valid")): _*)
     } catch {
       case _: ColumnCompiler.Unsupported =>
         // validate the same payload fields the Column path would — NOT the

@@ -67,7 +67,9 @@ object StreamingChecks {
     * window×bin) — collected and scored on the driver. */
   def windowDriftScores(
       bins: DataFrame, refCounts: Map[Int, Long]): Seq[(java.sql.Timestamp, Double)] = {
+    // null bins (null values have no histogram bucket) carry no drift signal
     val byWindow = bins.collect()
+      .filterNot(r => r.isNullAt(1))
       .map(r => (r.getTimestamp(0), r.getInt(1), r.getLong(2)))
       .groupBy(_._1)
     byWindow.toSeq.sortBy(_._1.getTime).map { case (w, rows) =>

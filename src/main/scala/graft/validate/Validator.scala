@@ -14,13 +14,16 @@ import scala.collection.concurrent.TrieMap
   */
 final case class Violation(path: String, keyword: String, message: String)
 
-/** One journal entry: the outcome of processing a single keyword
-  * (`validate.cljc:818` — every processed keyword is recorded). */
+/** One journal entry: the outcome of processing a single keyword. Like the
+  * reference (`validate.cljc:805-818`, the `if-let` around the journal
+  * conj), only keywords whose processing returned a non-nil outcome are
+  * recorded — a type-gated keyword that doesn't apply leaves no entry. */
 final case class JournalEntry(
     keyword: String,
     errors: Vector[Violation],
     instance: Option[JVal],
-    annotations: Option[Map[String, JVal]])
+    annotations: Option[Map[String, JVal]],
+    instanceType: Option[String] = None)
 
 /** Mirror of the reference's validate result shape (`validate.cljc:824-833`):
   * the instance may be *transformed* by validation (required-recovery
@@ -196,8 +199,11 @@ object Validator {
           out.instance.foreach(inst = _)
           out.annotations.foreach(ann = _)
           out.instanceType.foreach(typ = _)
-          if (journal != null)
-            journal += JournalEntry(kw, out.errors, out.instance, out.annotations)
+          // the reference journals only non-nil keyword results
+          // (validate.cljc:805-818); a NoOp outcome ≈ nil
+          if (journal != null && out != NoOp)
+            journal += JournalEntry(kw, out.errors, out.instance, out.annotations,
+              out.instanceType.flatten)
       }
     }
     VResult(!anyError, errs.result(), inst, ann, typ,

@@ -134,22 +134,19 @@ class Round2FixSpec extends AnyFunSuite {
     val longTotal = (Seq.fill(31)("a" * 7).mkString(".") + ".example.org." +
       Seq.fill(5)("b" * 7).mkString(".")).take(300)      // > 255 chars total
     val cases = Seq(("long_label", longLabel), ("ok_label", okLabel),
-      ("valid", "spark.apache.org"))
+      ("long_total", longTotal), ("valid", "spark.apache.org"))
     val df = cases.toDF("id", "h")
     val schema = graft.schema.SchemaDoc.schema("""{"properties":{"h":{"format":"hostname"}}}""")
     val ptype = StructType(Seq(StructField("h", StringType)))
     val out = df.withColumn("errors", ColumnCompiler.errors(schema, struct(col("h")), ptype))
       .select(col("id"), size(col("errors")) === 0).collect()
       .map(r => (r.getString(0), r.getBoolean(1))).toMap
-    assert(out === Map("long_label" -> false, "ok_label" -> true, "valid" -> true))
-    // agreement with the row core on every case incl. the >255 one
-    (cases.map(_._2) :+ longTotal).foreach { h =>
-      val colValid = out.getOrElse(cases.find(_._2 == h).map(_._1).getOrElse(""),
-        graft.validate.Formats.hostname(h))
-      assert(graft.validate.Formats.hostname(h) === colValid ||
-        !cases.exists(_._2 == h)) // longTotal checked row-core only here
+    assert(out === Map("long_label" -> false, "ok_label" -> true,
+      "long_total" -> false, "valid" -> true))
+    // column path agrees with the row core on every case (incl. both caps)
+    cases.foreach { case (id, h) =>
+      assert(graft.validate.Formats.hostname(h) === out(id), s"disagree on $id")
     }
-    assert(!graft.validate.Formats.hostname(longTotal))
   }
 
   test("row core survives NaN/Infinity doubles (no BigDecimal crash)") {
@@ -159,9 +156,19 @@ class Round2FixSpec extends AnyFunSuite {
     assert(nan.isInstanceOf[JNum] && pinf.isInstanceOf[JNum] && ninf.isInstanceOf[JNum])
     val schema = graft.schema.SchemaDoc.schema("""{"type":"number","maximum":100}""")
     val res = graft.validate.Validator.validate(schema, nan, graft.validate.Options())
-    assert(!res.valid) // NaN ~ +huge: above maximum, like Spark's NaN ordering
+    assert(!res.valid) // NaN ~ above any bound, like Spark's NaN ordering
     val resNeg = graft.validate.Validator.validate(schema, ninf, graft.validate.Options())
     assert(resNeg.valid)
+    // distinct sentinels mirror Spark's double equality: NaN = NaN,
+    // Inf = Inf, NaN != Inf — so uniqueItems sees [NaN, Inf] as distinct
+    assert(nan === RowValidator.toJVal(Double.NaN, DoubleType))
+    assert(nan !== pinf)
+    assert(pinf !== ninf)
+    val uniq = graft.schema.SchemaDoc.schema("""{"uniqueItems":true}""")
+    assert(graft.validate.Validator.validate(uniq,
+      graft.json.JArr(Vector(nan, pinf)), graft.validate.Options()).valid)
+    assert(!graft.validate.Validator.validate(uniq,
+      graft.json.JArr(Vector(nan, nan)), graft.validate.Options()).valid)
   }
 
   test("row-core fallback validates the payload fields only, matching the column path") {

@@ -93,7 +93,7 @@ class AnnotationSpec extends AnyFunSuite {
     assert(r.annotations === Map("title" -> JStr("taken")))
   }
 
-  test("journal option records one entry per processed keyword, in order") {
+  test("journal option records non-nil keyword outcomes, in order") {
     val r = v("""{"type":"string","minLength":10,"title":"t"}""", "\"short\"",
       Options(journal = true))
     assert(!r.valid)
@@ -101,6 +101,12 @@ class AnnotationSpec extends AnyFunSuite {
     val minLen = r.journal.find(_.keyword == "minLength").get
     assert(minLen.errors.nonEmpty)
     assert(r.journal.find(_.keyword == "type").get.errors.isEmpty)
+    assert(r.journal.find(_.keyword == "type").get.instanceType === Some("string"))
+    // type-gated keywords that don't apply return nil in the reference and
+    // leave NO journal entry (validate.cljc:805-818): maxLength on a number
+    val gated = v("""{"maxLength":5,"minimum":1}""", "42", Options(journal = true))
+    assert(gated.valid)
+    assert(gated.journal.map(_.keyword) === Vector()) // minimum passing is nil too
     // journal off by default
     assert(v("""{"type":"string"}""", "\"x\"").journal.isEmpty)
   }

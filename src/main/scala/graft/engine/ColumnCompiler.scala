@@ -291,12 +291,8 @@ object ColumnCompiler {
           if (jsonType != "string") noErrors
           else {
             val fmt = v match { case JStr(s) => s; case _ => "" }
-            FormatColumns.condition(fmt, col) match {
-              case Some(cond) =>
-                check(col.isNull || cond, path, "format", s"Doesn't match $fmt format")
-              case None if FormatColumns.passThrough(fmt) => noErrors
-              case None => throw Unsupported(s"format $fmt needs the row-level core")
-            }
+            check(col.isNull || FormatColumns.condition(fmt, col), path,
+              "format", s"Doesn't match $fmt format")
           }
 
         case "items" =>
@@ -717,11 +713,7 @@ object ColumnCompiler {
         if (jsonType != "string") lit(true)
         else {
           val fmt = v match { case JStr(s) => s; case _ => "" }
-          FormatColumns.condition(fmt, col) match {
-            case Some(cond) => ok(col.isNull || cond)
-            case None if FormatColumns.passThrough(fmt) => lit(true)
-            case None => throw Unsupported(s"format $fmt needs the row-level core")
-          }
+          ok(col.isNull || FormatColumns.condition(fmt, col))
         }
 
       case "items" =>
@@ -1106,13 +1098,18 @@ object ColumnCompiler {
   }
 }
 
-/** Format → Column-condition mapping reused by the column path. */
+/** Format → Column-condition mapping for the compiled path. Simple regex
+  * formats compile to anchored RLIKE (pure codegen'd builtins); everything
+  * else — date/time parsing, IDN, regex-compilability, unknown-format
+  * pass-through — runs the native [[graft.engine.expressions.FormatCheck]]
+  * expression, which calls the SAME [[graft.validate.Formats.check]] the
+  * row core uses (parity by construction, still whole-stage codegen). No
+  * format ever forces a whole-schema row-core fallback. */
 object FormatColumns {
   import graft.validate.Formats
   private def anchor(p: String): String = s"^(?:$p)$$"
   private val regexFormats: Map[String, String] = Map(
     "email" -> Formats.emailPattern,
-    "hostname" -> Formats.hostnamePattern,
     "ipv4" -> Formats.ipv4Pattern,
     "ipv6" -> Formats.ipv6Pattern,
     "uri" -> Formats.uriPattern,
@@ -1120,22 +1117,17 @@ object FormatColumns {
     "relative-json-pointer" -> Formats.relativeJsonPointerPattern
   ).map { case (k, v) => k -> anchor(v) }
 
-  /** The (non-null) validity condition for a format, when the column path
-    * supports it. hostname adds the RFC 1034 length caps on top of its
-    * regex, matching [[Formats.hostname]]: total ≤ 255 chars (all-ASCII
-    * once the regex passes, so `length` = bytes), and no label longer than
-    * 63 (a run of 64+ label characters ⟺ some dot-separated label > 63). */
-  def condition(fmt: String, col: Column): Option[Column] =
-    regexFormats.get(fmt).map { re =>
-      val base = col.rlike(re)
-      if (fmt == "hostname")
-        base && length(col) <= 255 && !col.rlike("[A-Za-z0-9-]{64,}")
-      else base
-    }
-
-  /** Unknown formats succeed (reference default, validate.cljc:550-552). */
-  def passThrough(fmt: String): Boolean = !Set(
-    "date-time", "date", "time", "idn-email", "idn-hostname",
-    "uri-reference", "iri", "iri-reference", "uri-template", "regex").contains(fmt) &&
-    !regexFormats.contains(fmt)
+  /** The (non-null) validity condition for a format. hostname adds the
+    * RFC 1034 length caps on top of its regex, matching
+    * [[Formats.hostname]]: total ≤ 255 chars (all-ASCII once the regex
+    * passes, so `length` = bytes), and no label longer than 63 (a run of
+    * 64+ label characters ⟺ some dot-separated label > 63). */
+  def condition(fmt: String, col: Column): Column = fmt match {
+    case "hostname" =>
+      col.rlike(anchor(Formats.hostnamePattern)) &&
+        length(col) <= 255 && !col.rlike("[A-Za-z0-9-]{64,}")
+    case f if regexFormats.contains(f) => col.rlike(regexFormats(f))
+    case other =>
+      graft.engine.expressions.FormatCheckFunctions.formatCheck(col, other)
+  }
 }

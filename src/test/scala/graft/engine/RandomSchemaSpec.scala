@@ -23,6 +23,8 @@ class RandomSchemaSpec extends AnyFunSuite {
     Gen.choose(0, 10).map(n => JObj.of("minLength" -> jnum(n))),
     Gen.choose(0, 20).map(n => JObj.of("maxLength" -> jnum(n))),
     Gen.oneOf("^doc-", "[0-9]+$", "^[a-z-]+[0-9]*$", "x").map(p => JObj.of("pattern" -> jstr(p))),
+    Gen.oneOf("hostname", "ipv4", "date-time", "uri", "regex", "email")
+      .map(f => JObj.of("format" -> jstr(f))),
     Gen.const(JObj.of("type" -> jstr("string"))),
     Gen.const(JObj.of("enum" -> JArr(Vector(jstr("doc-1"), jstr("doc-2"))))))
 
@@ -94,7 +96,10 @@ class RandomSchemaSpec extends AnyFunSuite {
 
   private val docGen: Gen[Row] = for {
     id <- Gen.frequency(4 -> Gen.choose(1, 3).map(i => s"doc-$i"),
-      2 -> Gen.const("doc-x"), 1 -> Gen.const(null))
+      2 -> Gen.const("doc-x"), 1 -> Gen.const(null),
+      // format-shaped strings so format predicates see both outcomes
+      1 -> Gen.oneOf("1.2.3.4", "2020-01-01T00:00:00Z", "spark.apache.org",
+        "http://x/y", "[a-z)+"))
     n <- Gen.choose(0, 6)
     spans <- Gen.listOfN(n, spanGen)
     nullSpans <- Gen.frequency(8 -> Gen.const(false), 1 -> Gen.const(true))

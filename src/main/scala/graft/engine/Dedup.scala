@@ -160,20 +160,23 @@ object Dedup {
     size(array_intersect(shA, shB)).cast(DoubleType) /
       size(array_union(shA, shB)).cast(DoubleType)
 
-  /** 32-bit SimHash over whitespace tokens (kept to 32 bits so the value and
-    * its bit arithmetic stay in Long range; hamming distance via
-    * `bit_count(a ^ b)`). */
-  def simhash32(text: Column): Column = {
+  /** 64-bit SimHash over whitespace tokens (hamming distance via
+    * `bit_count(a ^ b)`). Uses the full 64-bit token hash: a narrower
+    * signature shrinks the pigeonhole block keyspace (32-bit blocks at
+    * maxHamming=3 are 8 bits = 256 buckets/block), which collapses recall
+    * under the skew cap at ≥10⁸ docs — exactly the scale SimHash exists for. */
+  def simhash64(text: Column): Column = {
     val tokens = split(trim(text), "\\s+")
     val hashes = transform(tokens, t => xxhash64(t))
     // one per-bit counter fold; bit index is a Scala constant so the shift
-    // amount stays static (shiftright takes Int)
-    val bits = (0 until 32).map { j =>
+    // amount stays static (shiftright takes Int; arithmetic fill is masked
+    // off by the & 1)
+    val bits = (0 until 64).map { j =>
       val counter = aggregate(hashes, lit(0L), (acc, hv) =>
         acc + when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
       when(counter > 0, lit(1L << j)).otherwise(lit(0L))
     }
-    bits.reduce(_ + _)
+    bits.reduce(_ bitwiseOR _)
   }
 
   /** Typed-projection SimHash (same rationale as [[minhashPairs]]'s
@@ -187,12 +190,12 @@ object Dedup {
       .mapPartitions { iter =>
         iter.map { case (id, text) =>
           val tokens = text.trim.split("\\s+")
-          val counters = new Array[Int](32)
+          val counters = new Array[Int](64)
           var ti = 0
           while (ti < tokens.length) {
             val hv = hash64(tokens(ti), 0)
             var j = 0
-            while (j < 32) {
+            while (j < 64) {
               if (((hv >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
               j += 1
             }
@@ -200,7 +203,7 @@ object Dedup {
           }
           var sig = 0L
           var j = 0
-          while (j < 32) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
+          while (j < 64) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
           (id, sig)
         }
       }
@@ -208,17 +211,26 @@ object Dedup {
   }
 
   /** Pigeonhole block boundaries: `maxHamming + 1` contiguous blocks
-    * covering all 32 signature bits (remainder bits widen the last block).
+    * covering all 64 signature bits (remainder bits widen the last block).
     * Any pair within hamming distance ≤ maxHamming differs in at most
     * maxHamming blocks, so it agrees EXACTLY on at least one block —
     * bucketing per block therefore has full recall, unlike a single-prefix
-    * bucket (which misses any pair whose differing bits land in the prefix). */
+    * bucket (which misses any pair whose differing bits land in the prefix).
+    *
+    * 64-bit blocks are the scale guarantee: at maxHamming=3 each block is
+    * 16 bits (65,536 buckets/block), so bucket populations stay under any
+    * sane `maxBucket` far past 10⁹ docs — the 32-bit variant's 8-bit blocks
+    * (256 buckets) would ALL exceed the cap and be dropped, silently
+    * collapsing recall to zero. */
   private[engine] def simhashBlocks(maxHamming: Int): Array[(Int, Int)] = {
+    require(maxHamming >= 0 && maxHamming < 32,
+      s"maxHamming must be in [0, 32): got $maxHamming — " +
+        "64/(maxHamming+1)-bit blocks would collapse and lose recall")
     val nBlocks = maxHamming + 1
-    val width = 32 / nBlocks
+    val width = 64 / nBlocks
     Array.tabulate(nBlocks) { b =>
       val start = b * width
-      val w = if (b == nBlocks - 1) 32 - start else width
+      val w = if (b == nBlocks - 1) 64 - start else width
       (start, w)
     }
   }
@@ -233,7 +245,11 @@ object Dedup {
     * metric so observability always describes the buckets actually used. */
   private def simhashBlockKeys(maxHamming: Int): Column =
     array(simhashBlocks(maxHamming).map { case (start, w) =>
-      shiftright(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
+      // unsigned shift — the sign bit is signature payload, not sign; a
+      // width-64 block (maxHamming = 0) is the whole signature (1L << 64
+      // wraps to 1, so the mask expression would be wrong there)
+      if (w == 64) col("sig")
+      else shiftrightunsigned(col("sig"), start).bitwiseAND(lit((1L << w) - 1L))
     }.toSeq: _*)
 
   def simhashPairs(

@@ -36,10 +36,13 @@ object ValidationJob {
       val boolPlan = ColumnCompiler.valid(doc, payload, payloadType)
       val errs = ColumnCompiler.errors(doc, payload, payloadType)
       val passthrough = docs.columns.filterNot(c => c == "errors" || c == "valid")
+      // (passthrough…, valid, errors) — same column ORDER as the RowValidator
+      // fallback, so positional consumers (and parquet written from a mix of
+      // both paths) see one schema regardless of column-expressibility
       docs.withColumn("valid", boolPlan)
         .withColumn("errors",
           when(col("valid"), array().cast(ColumnCompiler.errorType)).otherwise(errs))
-        .select((passthrough.map(col).toSeq :+ col("errors") :+ col("valid")): _*)
+        .select((passthrough.map(col).toSeq :+ col("valid") :+ col("errors")): _*)
     } catch {
       case _: ColumnCompiler.Unsupported =>
         // validate the same payload fields the Column path would — NOT the

@@ -681,8 +681,8 @@ object Validator {
       }
 
     case "contentMediaType" =>
-      (instance, v) match {
-        case (JStr(s), JStr(mt)) =>
+      instance match {
+        case JStr(s) =>
           val decoded: Option[String] = schema.get("contentEncoding") match {
             case None => Some(s)
             case Some(JStr("base64")) =>
@@ -694,16 +694,18 @@ object Validator {
           }
           decoded match {
             case None => KwOut(errors = one(path, kw, "Unable to decode content"))
-            case Some(content) => mt match {
-              case "application/json" =>
+            case Some(content) => v match {
+              case JStr("application/json") =>
                 try KwOut(instance = Some(Json.parse(content)))
                 catch { case _: Exception =>
                   KwOut(errors = one(path, kw, "Instance is not application/json")) }
               case other =>
                 // faithful to the reference: the un-defaulted `case` on the
-                // media type throws OUT of validation (validate.cljc:732-739)
+                // media-type VALUE throws OUT of validation — for unknown
+                // string media types AND for malformed non-string keyword
+                // values alike (validate.cljc:732-739)
                 throw new IllegalArgumentException(
-                  s"No matching clause: $other (unsupported contentMediaType)")
+                  s"No matching clause: ${Json.render(other)} (unsupported contentMediaType)")
             }
           }
         case _ => NoOp

@@ -15,20 +15,45 @@ class Round2FixSpec extends AnyFunSuite {
 
   test("simhash pigeonhole: any pair within maxHamming shares at least one block (property)") {
     val rnd = new scala.util.Random(42)
-    for (maxHamming <- 1 to 4) {
+    for (maxHamming <- 0 to 6) {
       val blocks = Dedup.simhashBlocks(maxHamming)
-      assert(blocks.map(_._2).sum === 32)
+      assert(blocks.map(_._2).sum === 64)
+      def blockKey(sig: Long, start: Int, w: Int): Long =
+        if (w == 64) sig else (sig >>> start) & ((1L << w) - 1)
       for (_ <- 1 to 200) {
-        val a = rnd.nextInt() & 0xFFFFFFFFL
-        // flip exactly maxHamming distinct bits
-        val flips = rnd.shuffle((0 until 32).toList).take(maxHamming)
+        val a = rnd.nextLong()
+        // flip exactly maxHamming distinct bits (the full 64-bit range)
+        val flips = rnd.shuffle((0 until 64).toList).take(maxHamming)
         val b = flips.foldLeft(a)((acc, j) => acc ^ (1L << j))
         val shared = blocks.exists { case (start, w) =>
-          ((a >>> start) & ((1L << w) - 1)) == ((b >>> start) & ((1L << w) - 1))
+          blockKey(a, start, w) == blockKey(b, start, w)
         }
         assert(shared, s"pair at distance $maxHamming shares no block: a=$a flips=$flips")
       }
     }
+    // invalid maxHamming fails loudly instead of silently losing recall
+    intercept[IllegalArgumentException](Dedup.simhashBlocks(32))
+    intercept[IllegalArgumentException](Dedup.simhashBlocks(-1))
+  }
+
+  test("simhash block-bucket cardinality grows with corpus size (64-bit keyspace)") {
+    // THE 32-bit failure mode: at maxHamming=3, 8-bit blocks give ≤256
+    // distinct buckets per block no matter the corpus, so every bucket blows
+    // past the skew cap at scale. 64-bit blocks are 16 bits — distinct
+    // buckets must keep growing with distinct docs.
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"document $i with unique words w${i * 7} w${i * 13} w${i * 29}"))
+      .toDF("doc_id", "text")
+    def bucketsPerBlock0(n: Int): Long = {
+      val sigs = Dedup.simhashFrame(corpus(n), "doc_id", "text")
+        .collect().map(_.getLong(1))
+      val (start, w) = Dedup.simhashBlocks(3)(0)
+      sigs.map(s => (s >>> start) & ((1L << w) - 1)).distinct.length.toLong
+    }
+    val small = bucketsPerBlock0(300)
+    val large = bucketsPerBlock0(2000)
+    assert(large > small, s"bucket count must grow with corpus: $small -> $large")
+    assert(large > 256, s"64-bit blocks must exceed the 32-bit 256-bucket ceiling: $large")
   }
 
   test("simhashPairs differential: equals brute-force hamming pairs (full recall)") {
@@ -47,24 +72,24 @@ class Round2FixSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
-  test("simhashPairs catches twins whose differing bits fall in the old top-8 prefix") {
-    // craft texts empirically: find two with hamming<=2 and a flip in bits 24..31
-    // by brute-forcing a base text plus word swaps; fall back to asserting the
-    // pigeonhole key set directly if the corpus search finds none.
+  test("simhashPairs catches twins whose differing bits fall in the top block") {
+    // craft texts empirically: find two with hamming<=2 and a flip inside the
+    // LAST pigeonhole block (a single-prefix bucketing scheme would miss them)
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 8
     val variants = (0 until 200).map(i => (i.toLong, base + s" tail$i"))
     val df = variants.toDF("doc_id", "text")
     val sigs = Dedup.simhashFrame(df, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (topStart, _) = Dedup.simhashBlocks(2).last
     val prefixPairs = for {
       (ia, sa) <- sigs; (ib, sb) <- sigs
       if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 2 &&
-        ((sa ^ sb) >>> 24) != 0L // differing bit inside the old prefix bucket
+        ((sa ^ sb) >>> topStart) != 0L // differing bit inside the top block
     } yield (ia, ib)
-    assert(prefixPairs.nonEmpty, "corpus has no prefix-differing close pair; adjust fixture")
+    assert(prefixPairs.nonEmpty, "corpus has no top-block-differing close pair; adjust fixture")
     val found = Dedup.simhashPairs(df, "doc_id", "text", maxHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    prefixPairs.foreach(p => assert(found.contains(p), s"missed prefix-differing pair $p"))
+    prefixPairs.foreach(p => assert(found.contains(p), s"missed top-block-differing pair $p"))
   }
 
   test("skew caps keep boilerplate corpora from quadratic candidate stages") {

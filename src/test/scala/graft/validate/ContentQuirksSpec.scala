@@ -37,6 +37,14 @@ class ContentQuirksSpec extends AnyFunSuite {
     }
   }
 
+  test("non-string contentMediaType keyword value throws too (un-defaulted case parity)") {
+    intercept[IllegalArgumentException] {
+      v("""{"contentMediaType":5}""", JStr("a,b"))
+    }
+    // …but only when the instance is a string (non-strings skip the keyword)
+    assert(v("""{"contentMediaType":5}""", JNum(BigDecimal(3))).valid)
+  }
+
   test("application/json transform still replaces the instance") {
     val r = v("""{"contentMediaType":"application/json"}""", JStr("""{"a":1}"""))
     assert(r.valid)

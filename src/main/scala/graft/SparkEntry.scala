@@ -170,8 +170,11 @@ object SparkEntry {
     }),
 
     // dedup clustering: distributed min-label propagation over exact-dup
-    // pairs; the oracle recomputes components independently (per-fingerprint
-    // min over the same corpus), a true differential for the iterative join
+    // STAR edges (one root→member edge per group member — linear in group
+    // size, where a within-group self-join is quadratic on a boilerplate
+    // fingerprint); the oracle recomputes components independently
+    // (per-fingerprint min over the same corpus), a true differential for
+    // the iterative join
     "q_dedup_components" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
       val corpus = docs.unionByName(
@@ -179,11 +182,7 @@ object SparkEntry {
           .withColumn("doc_id", -col("doc_id") - 1000000))
       val fp = corpus.select(col("doc_id").as("id"),
         TextOps.fingerprint(coalesce(col("text"), lit(""))).as("f"))
-      val pairs = fp.select(col("f"), col("id").as("id_a"))
-        .join(fp.select(col("f"), col("id").as("id_b")), "f")
-        .where(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.components(pairs)
+      Dedup.components(Dedup.exactDupEdges(fp, "id", "f"))
     }),
 
     // LSH candidate generation is hash-function-specific → rows-only checks;
@@ -255,11 +254,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("meta.bytes")).as("total_bytes"))
         .orderBy("mime")),
 
-    "q_media_features" -> ((s, dir) =>
-      MediaOps.extractFeatures(MediaOps.syntheticMedia(s)).toDF()
-        .select(col("media_ref"), col("mime"), col("width"), col("height"),
-          col("frames"), round(Similarity.cosine(col("feature"), col("feature")), 3).as("self_sim"))
-        .orderBy("media_ref")),
+    // features sample DECODED content (pixels / PCM samples / container
+    // bytes); ref_sim scores them against a fixed reference vector through
+    // the typed cosine path, so a wrong decode shows up as a value mismatch
+    "q_media_features" -> ((s, dir) => {
+      import s.implicits._
+      val refVec = Array.tabulate(8)(i => 1.0f / (i + 1))
+      MediaOps.extractFeatures(MediaOps.syntheticMedia(s))
+        .map { m =>
+          val sim = new java.math.BigDecimal(Similarity.cosineArrays(m.feature, refVec))
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+          (m.media_ref, m.mime, m.width, m.height, m.frames, sim)
+        }
+        .toDF("media_ref", "mime", "width", "height", "frames", "ref_sim")
+        .orderBy("media_ref")
+    }),
 
     // real resize: Spark decodes + bilinear-rescales + re-encodes the PNG;
     // the oracle recomputes expected dims from the construction formulas
@@ -593,29 +602,44 @@ object SparkEntry {
           |  COUNT(*) AS n, CAST(SUM(bytes) AS BIGINT) AS total_bytes
           |FROM cat GROUP BY 1 ORDER BY 1""".stripMargin,
 
-      // The oracle recomputes expected metadata from the construction
-      // formulas (MediaOps.pngDims/wavFrames/videoDims) while the Spark side
-      // actually DECODES the payload bytes (javax.imageio / RIFF / GFTV
-      // header) — a genuine independent check of the decode stage.
+      // The oracle recomputes expected metadata AND the decoded-content
+      // feature vector from the construction formulas (MediaOps.pngDims /
+      // wavFrames / videoDims, pixel/PCM/content-byte formulas) while the
+      // Spark side actually DECODES the payload bytes (javax.imageio / RIFF
+      // / GFTV) — a genuine independent check of the decode stage down to
+      // the content values, not just the headers. REAL casts mirror the
+      // engine's float feature components so 6dp rounding agrees.
       "q_media_features" ->
         """WITH cat AS (
           |  SELECT i, i * 1024 + 64 AS bytes, 'm-' || CAST(i AS VARCHAR) AS media_ref
-          |  FROM range(0, 200) t(i))
-          |SELECT media_ref,
-          |  CASE WHEN bytes % 3 = 0 THEN 'image/png'
-          |       WHEN bytes % 3 = 1 THEN 'audio/wav'
-          |       ELSE 'video/mp4' END AS mime,
-          |  CAST(CASE WHEN bytes % 3 = 0 THEN 8 + i % 24
-          |            WHEN bytes % 3 = 1 THEN 0
-          |            ELSE 16 + (i * 3) % 48 END AS INTEGER) AS width,
-          |  CAST(CASE WHEN bytes % 3 = 0 THEN 8 + (i * 7) % 24
-          |            WHEN bytes % 3 = 1 THEN 0
-          |            ELSE 16 + (i * 5) % 48 END AS INTEGER) AS height,
-          |  CAST(CASE WHEN bytes % 3 = 0 THEN 1
-          |            WHEN bytes % 3 = 1 THEN 32 + i % 64
-          |            ELSE 1 + i % 30 END AS INTEGER) AS frames,
-          |  1.0 AS self_sim
-          |FROM cat ORDER BY media_ref""".stripMargin,
+          |  FROM range(0, 200) t(i)),
+          |dims AS (
+          |  SELECT i, media_ref,
+          |    CASE WHEN bytes % 3 = 0 THEN 'image/png'
+          |         WHEN bytes % 3 = 1 THEN 'audio/wav'
+          |         ELSE 'video/mp4' END AS mime,
+          |    8 + i % 24 AS pw, 8 + (i * 7) % 24 AS ph,
+          |    32 + i % 64 AS nsamp,
+          |    16 + (i * 3) % 48 AS vw, 16 + (i * 5) % 48 AS vh, 1 + i % 30 AS vf
+          |  FROM cat),
+          |feat AS (
+          |  SELECT *,
+          |    [CAST((CASE
+          |       WHEN mime = 'image/png' THEN ((f % pw) * 31 + ((f * 3) % ph) * 17 + i * 7919) % 256
+          |       WHEN mime = 'audio/wav' THEN ((i * 31 + ((f * 5) % nsamp) * 7) % 32768) % 256
+          |       ELSE CAST('0x' || substr(md5(media_ref), 2 * ((f * 3) % 16) + 1, 2) AS INTEGER)
+          |     END + 1 + f) / 300.0 AS REAL)
+          |     for f in range(0, 8)] AS fv
+          |  FROM dims)
+          |SELECT media_ref, mime,
+          |  CAST(CASE WHEN mime = 'image/png' THEN pw WHEN mime = 'audio/wav' THEN 0 ELSE vw END AS INTEGER) AS width,
+          |  CAST(CASE WHEN mime = 'image/png' THEN ph WHEN mime = 'audio/wav' THEN 0 ELSE vh END AS INTEGER) AS height,
+          |  CAST(CASE WHEN mime = 'image/png' THEN 1 WHEN mime = 'audio/wav' THEN nsamp ELSE vf END AS INTEGER) AS frames,
+          |  ROUND(
+          |    list_sum([CAST(fv[f + 1] AS DOUBLE) * CAST(CAST(1.0 / (f + 1) AS REAL) AS DOUBLE) for f in range(0, 8)]) /
+          |    (sqrt(list_sum([CAST(fv[f + 1] AS DOUBLE) * CAST(fv[f + 1] AS DOUBLE) for f in range(0, 8)])) *
+          |     sqrt(list_sum([CAST(CAST(1.0 / (f + 1) AS REAL) AS DOUBLE) * CAST(CAST(1.0 / (f + 1) AS REAL) AS DOUBLE) for f in range(0, 8)]))), 6) AS ref_sim
+          |FROM feat ORDER BY media_ref""".stripMargin,
 
       // resize mirror: scale = min(1, 16/max(w,h)) over the PNG construction
       // dims; floor() matches the engine's toInt truncation; non-images pass

@@ -275,6 +275,22 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Linear-size edge set for exact-duplicate groups: one (group-min → id)
+    * star edge per non-min member of every duplicate group, via a window
+    * min over the group key — O(group) edges where a within-group self-join
+    * is O(group²). A boilerplate fingerprint with 10⁶ copies yields 10⁶−1
+    * edges, not 5·10¹¹ pairs, and the resulting star graph converges in one
+    * [[components]] round. Pair-edges are reserved for genuine near-dup
+    * inputs ([[minhashPairs]]/[[simhashPairs]]), which are already
+    * skew-capped with dropped-bucket observability. */
+  def exactDupEdges(df: DataFrame, idCol: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+    df.select(col(keyCol), col(idCol).cast(LongType).as("id"))
+      .withColumn("root", min(col("id")).over(w))
+      .where(col("id") =!= col("root"))
+      .select(col("root").as("id_a"), col("id").as("id_b"))
+  }
+
   /** Connected components over a near-dup pair frame (id_a, id_b):
     * deterministic min-label propagation — every node ends labeled with the
     * smallest id in its component. This is the clustering stage of a dedup

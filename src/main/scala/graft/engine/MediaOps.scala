@@ -126,11 +126,23 @@ object MediaOps {
     * video parses the synthetic GFTV container header (STUB for mp4). */
   object Decoder {
     def decode(mime: String, payload: Array[Byte], dim: Int = 8): (Int, Int, Int, Array[Float]) = {
-      val (w, h, frames) = mime match {
+      // The pseudo-feature samples DECODED content — image pixels, PCM
+      // samples, container content bytes — not the compressed payload (a
+      // real pipeline would run an embedding model on the decoded media).
+      // Strictly positive components so the vector never has zero norm, and
+      // a pure function of decoded content so the DuckDB oracle can
+      // reconstruct it from the construction formulas: a feature mismatch
+      // means the DECODE is wrong, not just the header parse.
+      mime match {
         case m if m.startsWith("image/") =>
           val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
           require(img != null, "undecodable image payload")
-          (img.getWidth, img.getHeight, 1)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val feature = Array.tabulate(dim) { f =>
+            val c = img.getRGB(f % w, (f * 3) % h) & 0xff // decoded blue channel
+            (c + 1 + f) / 300.0f
+          }
+          (w, h, 1, feature)
         case m if m.startsWith("audio/") =>
           val buf = java.nio.ByteBuffer.wrap(payload)
             .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -139,19 +151,23 @@ object MediaOps {
             new String(payload, 8, 4, "US-ASCII") == "WAVE", "not a RIFF/WAVE payload")
           val blockAlign = buf.getShort(32).toInt
           val dataBytes = buf.getInt(40)
-          (0, 0, dataBytes / blockAlign)
+          val frames = dataBytes / blockAlign
+          val feature = Array.tabulate(dim) { f =>
+            val c = payload(44 + blockAlign * ((f * 5) % frames)) & 0xff // PCM low byte
+            (c + 1 + f) / 300.0f
+          }
+          (0, 0, frames, feature)
         case _ =>
-          require(payload.length >= 16 &&
+          require(payload.length >= 17 &&
             new String(payload, 0, 4, "US-ASCII") == "GFTV", "not a GFTV payload")
           val buf = java.nio.ByteBuffer.wrap(payload)
-          (buf.getInt(4), buf.getInt(8), buf.getInt(12))
+          val content = payload.length - 16
+          val feature = Array.tabulate(dim) { f =>
+            val c = payload(16 + (f * 3) % content) & 0xff // container content byte
+            (c + 1 + f) / 300.0f
+          }
+          (buf.getInt(4), buf.getInt(8), buf.getInt(12), feature)
       }
-      // deterministic pseudo-feature from payload content (a real pipeline
-      // would run an embedding model here); strictly positive components so
-      // the vector never has zero norm
-      val feature = Array.tabulate(dim)(i =>
-        ((payload((i * 31) % payload.length) & 0xff) + 1 + i) / 300.0f)
-      (w, h, frames, feature)
     }
   }
 

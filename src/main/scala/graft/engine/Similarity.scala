@@ -55,7 +55,7 @@ object Similarity {
   }
 
   /** Plain-loop cosine for typed projections. */
-  private[engine] def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
+  def cosineArrays(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)

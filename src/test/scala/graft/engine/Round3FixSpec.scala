@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression tests for the round-3 fixes: linear-size exact-dup edges and
+  * content-derived media features. */
+class Round3FixSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("exactDupEdges is linear in group size (no quadratic stage on boilerplate)") {
+    // one hot fingerprint with 1,000 copies + two small groups + singletons
+    val rows =
+      (0 until 1000).map(i => (i.toLong, "hot")) ++
+        Seq((2000L, "g1"), (2001L, "g1"), (3000L, "g2"), (3001L, "g2"), (3002L, "g2")) ++
+        Seq((4000L, "solo1"), (4001L, "solo2"))
+    val fp = rows.toDF("id", "f")
+    val edges = Dedup.exactDupEdges(fp, "id", "f")
+    // a within-group self-join would emit 1000*999/2 = 499,500 pairs for the
+    // hot group; the star builder emits exactly group_size-1 edges per group
+    assert(edges.count() === 999L + 1L + 2L)
+    assert(edges.where(col("id_a") === 0L).count() === 999L)
+    // components over the star graph label every member with the group min
+    val comp = Dedup.components(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L until 1000L).forall(comp(_) == 0L))
+    assert(comp(2001L) === 2000L && comp(3001L) === 3000L && comp(3002L) === 3000L)
+    // singletons appear in no edge and thus in no component row
+    assert(!comp.contains(4000L) && !comp.contains(4001L))
+  }
+
+  test("media features derive from decoded content (pixel/PCM/content-byte formulas)") {
+    // PNG i=5: feature f samples the decoded blue channel at (f % w, (f*3) % h)
+    val i = 5
+    val (w, h) = MediaOps.pngDims(i)
+    val (dw, dh, fr, feat) = MediaOps.Decoder.decode("image/png", MediaOps.pngPayload(i))
+    assert((dw, dh, fr) === ((w, h, 1)))
+    for (f <- 0 until 8) {
+      val expected = (((f % w) * 31 + ((f * 3) % h) * 17 + i * 7919) % 256 + 1 + f) / 300.0f
+      assert(feat(f) === expected, s"pixel feature $f")
+    }
+    // WAV i=7: feature f samples the PCM low byte of sample (f*5) % n
+    val n = MediaOps.wavFrames(7)
+    val (_, _, fr2, feat2) = MediaOps.Decoder.decode("audio/wav", MediaOps.wavPayload(7))
+    assert(fr2 === n)
+    for (f <- 0 until 8) {
+      val j = (f * 5) % n
+      val expected = ((7 * 31 + j * 7) % 32768 % 256 + 1 + f) / 300.0f
+      assert(feat2(f) === expected, s"pcm feature $f")
+    }
+    // GFTV: feature f samples content byte (f*3) % 16 (md5 of the ref)
+    val payload = MediaOps.videoPayload("m-2", 2)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest("m-2".getBytes("UTF-8"))
+    val (_, _, _, feat3) = MediaOps.Decoder.decode("video/mp4", payload)
+    for (f <- 0 until 8) {
+      val expected = ((md5((f * 3) % 16) & 0xff) + 1 + f) / 300.0f
+      assert(feat3(f) === expected, s"content feature $f")
+    }
+  }
+}

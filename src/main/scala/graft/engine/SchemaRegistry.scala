@@ -31,34 +31,51 @@ object SchemaRegistry {
   /** Validate each row against the schema its `schemaCol` names. Adds
     * `valid` + `errors` like [[ValidationJob.withVerdicts]].
     *
-    * When every registry schema is column-expressible, the dispatch compiles
-    * to a CASE chain of Catalyst plans — whole-stage codegen, no per-row
+    * Hybrid per-schema dispatch: every column-expressible schema compiles
+    * into a CASE chain of Catalyst plans — whole-stage codegen, no per-row
     * interpretation, no JVal allocation; at 10^12 rows this is the only
-    * acceptable shape. Falls back to the broadcast row core when any schema
-    * needs it (recursive $ref, dynamic objects, content decoding). */
+    * acceptable shape. Rows naming a schema the compiler can NOT express
+    * (recursive $ref, dynamic objects, content decoding) are routed — and
+    * ONLY those rows — to the broadcast row core; one inexpressible schema
+    * no longer drags the whole registry off the compiled path. */
   def validateWith(
       spark: SparkSession, df: DataFrame,
       registry: SchemaRegistry, schemaCol: String): DataFrame = {
     val payloadFields = df.schema.fields.filter(_.name != schemaCol)
     val payloadType = StructType(payloadFields)
     val payload = struct(payloadFields.map(f => col(f.name)).toSeq: _*)
-    val plans: Option[Seq[(String, org.apache.spark.sql.Column)]] =
-      try Some(registry.schemas.toSeq.sortBy(_._1).map { case (n, doc) =>
-        n -> ColumnCompiler.errors(doc, payload, payloadType)
-      })
-      catch { case _: ColumnCompiler.Unsupported => None }
-    plans match {
-      case Some((n0, p0) +: rest) =>
+    val compiled: Seq[(String, org.apache.spark.sql.Column)] =
+      registry.schemas.toSeq.sortBy(_._1).flatMap { case (n, doc) =>
+        try Some(n -> ColumnCompiler.errors(doc, payload, payloadType))
+        catch { case _: ColumnCompiler.Unsupported => None }
+      }
+    val rowCoreNames = registry.names -- compiled.map(_._1).toSet
+    compiled match {
+      case Seq() => rowCoreValidateWith(spark, df, registry, schemaCol)
+      case (n0, p0) +: rest =>
+        val compiledNames = compiled.map(_._1)
         // unknown schema name raises, mirroring the row path's lookup error
         val chain = rest.foldLeft(when(col(schemaCol) === n0, p0)) {
           case (acc, (n, p)) => acc.when(col(schemaCol) === n, p)
         }.otherwise(raise_error(concat(
           lit("no schema '"), col(schemaCol),
           lit(s"' in registry (${registry.names.toSeq.sorted.mkString(", ")})"))))
-        df.withColumn("valid", lit(true))
+        // filter BEFORE the projection so the CASE chain (and its
+        // raise_error otherwise-branch) never evaluates on row-core rows
+        val columnarInput =
+          if (rowCoreNames.isEmpty) df
+          else df.where(col(schemaCol).isin(compiledNames: _*))
+        val columnar = columnarInput.withColumn("valid", lit(true))
           .withColumn("errors", chain)
           .withColumn("valid", size(col("errors")) === 0)
-      case _ => rowCoreValidateWith(spark, df, registry, schemaCol)
+        if (rowCoreNames.isEmpty) columnar
+        else
+          // both branches emit (…, valid, errors); unknown names route to
+          // the row core, whose registry lookup raises the same error the
+          // CASE chain's otherwise would
+          columnar.unionByName(rowCoreValidateWith(spark,
+            df.where(not(col(schemaCol).isin(compiledNames: _*))),
+            registry, schemaCol))
     }
   }
 

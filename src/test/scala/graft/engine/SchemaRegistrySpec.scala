@@ -58,15 +58,43 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert(!plan.contains("DeserializeToObject"), s"expected compiled dispatch, got:\n$plan")
   }
 
-  test("registry with a column-inexpressible schema falls back to the row core") {
+  test("registry with a column-inexpressible schema still validates every row") {
     val reg = SchemaRegistry.compile(Map(
       "short-text" -> """{"properties":{"payload":{"type":"string","maxLength":5}},"required":["payload"]}""",
-      // recursive $ref is not column-expressible → whole dispatch falls back
+      // recursive $ref is not column-expressible → routed to the row core
       "meta" -> """{"$ref":"http://json-schema.org/draft-07/schema#"}"""))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
       Row(0L, "short-text", "hi"), Row(1L, "meta", "x")), 1), schema)
     val out = SchemaRegistry.validateWith(spark, df, reg, "schema_name")
       .select("id", "valid").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(out(0L))
+  }
+
+  test("hybrid dispatch: columnar schemas stay compiled beside a row-core schema") {
+    val reg = SchemaRegistry.compile(Map(
+      "short-text" -> """{"properties":{"payload":{"type":"string","maxLength":5}},"required":["payload"]}""",
+      "number" -> """{"properties":{"payload":{"pattern":"^[0-9]+$"}},"required":["payload"]}""",
+      // recursive $ref — the ONLY schema that needs the row core
+      "meta" -> """{"$ref":"http://json-schema.org/draft-07/schema#"}"""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, "short-text", "hi"), Row(1L, "short-text", "toolongx"),
+      Row(2L, "number", "12345678"), Row(3L, "number", "12a"),
+      Row(4L, "short-text", null), Row(5L, "meta", "x")), 2), schema)
+    val out = SchemaRegistry.validateWith(spark, df, reg, "schema_name")
+    // differential: hybrid ≡ all-rows row core
+    def key(r: Row) = (r.getLong(0), r.getBoolean(3), r.getSeq[Row](4).length)
+    val got = out.collect().map(key).sortBy(_._1)
+    val want = SchemaRegistry.rowCoreValidateWith(spark, df, reg, "schema_name")
+      .collect().map(key).sortBy(_._1)
+    assert(got.toSeq === want.toSeq)
+    assert(got.map(_._1).toSeq === (0L to 5L))
+    // plan: a union of exactly ONE row-core branch (DeserializeToObject) and
+    // a columnar branch whose CASE dispatch stays compiled — the
+    // inexpressible schema must not drag the whole registry off the
+    // compiled path
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Union"), plan)
+    assert("DeserializeToObject".r.findAllIn(plan).length === 1, plan)
+    assert(plan.toLowerCase.contains("case when"), plan)
   }
 }

@@ -138,7 +138,7 @@ object Bench {
     val qs = queryTimes.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = queryTimes.map(_._2).sum
-    println(
+    val json =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,""" +
       s""""sf":"$sfDir","validated_docs":$docsN,""" +
       s""""docs_per_sec":${f"$headlineDps%.0f"},""" +
@@ -148,6 +148,13 @@ object Bench {
       s""""scan_efficiency_8_to_32":${f"$scanEff8to32%.3f"},""" +
       s""""scaling_efficiency_4_to_16":${f"$eff4to16%.3f"},""" +
       s""""scaling_efficiency_8_to_32":${f"$eff8to32%.3f"},""" +
-      s""""scaling_efficiency":${f"${math.max(eff4to16, eff8to32)}%.3f"}}""")
+      s""""scaling_efficiency":${f"${math.max(eff4to16, eff8to32)}%.3f"}}"""
+    println(json)
+    // also land the metrics object in a FILE so downstream tooling gets
+    // structured JSON instead of regexing a log tail (sbt prefixes stdout)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[bench] could not write $outPath: $e") }
   }
 }

@@ -46,6 +46,14 @@ final class QuantileSketch(
     mergeFlushed(other)
   }
 
+  // checkpoint consistency: a serialized sketch is always flushed, so the
+  // persisted (means, weights, count) are the complete state — `count` read
+  // from a restored checkpoint is exact, never lagging the insert buffer
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    flush()
+    out.defaultWriteObject()
+  }
+
   private def mergeFlushed(other: QuantileSketch): QuantileSketch = {
     if (other.count == 0) return this
     if (count == 0) return other

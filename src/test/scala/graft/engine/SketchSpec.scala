@@ -50,6 +50,62 @@ class SketchSpec extends AnyFunSuite {
     assert(back.count === sk.count)
   }
 
+  test("merging 1000 partition sketches matches the global sketch within rank error") {
+    // the north-rule drift story at 10^12 rows rests on merge associativity:
+    // one sketch per input split, merged up a tree. 1000 partitions is the
+    // cluster shape; rank error must stay bounded through the merge fan-in.
+    val n = 200000
+    val rnd = new scala.util.Random(7)
+    val xs = Array.fill(n)(
+      if (rnd.nextInt(20) == 0) 500 + rnd.nextGaussian() * 200 // heavy tail
+      else rnd.nextDouble() * 100)
+    val global = new QuantileSketch(100); xs.foreach(global.insert)
+    val parts = Array.fill(1000)(new QuantileSketch(100))
+    xs.zipWithIndex.foreach { case (v, i) => parts(i % 1000).insert(v) }
+    val flat = parts.reduce(_ merge _)
+    assert(flat.count === n.toLong)
+    val sorted = xs.sorted
+    def rankOf(x: Double): Double = sorted.count(_ <= x).toDouble / n
+    for (q <- Seq(0.01, 0.1, 0.5, 0.9, 0.99)) {
+      val rf = rankOf(flat.quantile(q))
+      val rg = rankOf(global.quantile(q))
+      assert(math.abs(rf - q) <= 0.05, s"q=$q flat-merged rank $rf")
+      assert(math.abs(rg - q) <= 0.05, s"q=$q global rank $rg")
+    }
+    // tree-shaped merge (the real cluster reduction) holds the same bound
+    val tree = parts.grouped(32).map(_.reduce(_ merge _)).reduce(_ merge _)
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val rt = rankOf(tree.quantile(q))
+      assert(math.abs(rt - q) <= 0.05, s"q=$q tree-merged rank $rt")
+    }
+  }
+
+  test("checkpoint/restore mid-stream, then continue: matches the uninterrupted sketch") {
+    // simulated snapshot boundary: sketch half the stream, serialize (what
+    // the checkpoint sink persists), restore, sketch the rest — quantiles
+    // must match a never-interrupted sketch within rank error.
+    def f(i: Int): Double = ((i.toLong * 2654435761L) % 100000L).toDouble / 100.0
+    val uninterrupted = new QuantileSketch(100)
+    (0 until 100000).foreach(i => uninterrupted.insert(f(i)))
+    val first = new QuantileSketch(100)
+    (0 until 50000).foreach(i => first.insert(f(i)))
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(first); oos.close()
+    val restored = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[QuantileSketch]
+    (50000 until 100000).foreach(i => restored.insert(f(i)))
+    restored.flush() // count is exact at flush points (and at serialization)
+    assert(restored.count === 100000L)
+    val sorted = (0 until 100000).map(f).sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val r = sorted.count(_ <= restored.quantile(q)).toDouble / 100000
+      assert(math.abs(r - q) <= 0.03, s"q=$q restored rank $r")
+      assert(math.abs(restored.quantile(q) - uninterrupted.quantile(q)) <=
+        (sorted.last - sorted.head) * 0.02, s"q=$q restored vs uninterrupted")
+    }
+  }
+
   test("sketch KS/PSI: same distribution ~0, shifted >> 0") {
     def sketchOf(xs: Seq[Double]): QuantileSketch = {
       val s = new QuantileSketch(100); xs.foreach(s.insert); s

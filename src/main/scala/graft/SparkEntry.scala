@@ -212,12 +212,16 @@ object SparkEntry {
       Similarity.annTopK(emb, emb.where(col("vec_id") < 5), k = 3, bits = 4)
     }),
 
-    // IVF coarse-quantizer ANN (rows-only check: centroid training is
-    // engine-side k-means; recall/subset properties are spec-gated)
+    // IVF coarse-quantizer ANN. nProbe = nlist makes probing exhaustive, so
+    // the result must EQUAL the exact top-k — the oracle thereby gates the
+    // whole partition/probe/score machinery (the k-means cell assignment
+    // must cover every vector exactly once, the probe join must reach every
+    // cell, scoring must be exact); recall at nProbe < nlist is what the
+    // operator trades at scale and is spec-gated (DedupSimilaritySpec).
     "q_ivf_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 5), k = 3,
-        nlist = 8, nProbe = 3)
+        nlist = 8, nProbe = 8)
     }),
 
     "q_cosine_neardups" -> ((s, dir) => {
@@ -312,6 +316,32 @@ object SparkEntry {
         |  list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) AS dot,
         |  list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) AS qq,
         |  list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(c.embedding) + 1)]) AS cc) t""".stripMargin
+    // exact cosine top-3 for the 5 query vectors — the oracle for BOTH
+    // q_knn_exact (brute force) and q_ivf_topk (nProbe = nlist ⇒ exhaustive
+    // probing must reproduce the exact result)
+    val exactTop3Sql =
+      """WITH cos AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    ROUND(
+        |      list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) /
+        |      (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)])) *
+        |       sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(c.embedding) + 1)]))), 6) AS sim
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, sim,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+        |  FROM cos)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
+        |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+    // mutated-twins corpus (TextOps.withMutatedTwins) shared by the near-dup
+    // oracles
+    val twinsCorpus =
+      """corpus AS (
+        |  SELECT doc_id AS id, text FROM documents
+        |  UNION ALL
+        |  SELECT -doc_id - 1, text || ' extra trailing words appended'
+        |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
     Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
@@ -512,21 +542,86 @@ object SparkEntry {
           |FROM sh a JOIN sh b ON b.id = -a.id - 1 AND a.id >= 0 AND a.id % 50 = 0
           |ORDER BY id_a""".stripMargin,
 
-      "q_knn_exact" ->
-        """WITH cos AS (
-          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-          |    ROUND(
-          |      list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)]) /
-          |      (sqrt(list_sum([CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE) for i in range(1, len(q.embedding) + 1)])) *
-          |       sqrt(list_sum([CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE) for i in range(1, len(c.embedding) + 1)]))), 6) AS sim
-          |  FROM embeddings q, embeddings c
-          |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
-          |ranked AS (
-          |  SELECT query_id, neighbor_id, sim,
-          |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
-          |  FROM cos)
-          |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, sim
-          |FROM ranked WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+      "q_knn_exact" -> exactTop3Sql,
+
+      "q_ivf_topk" -> exactTop3Sql,
+
+      // full LSH mirror: minhash signatures (md5-base + splitmix finalizer,
+      // HashSql renders the exact wraparound arithmetic), band keys, bucket
+      // skew cap, candidate self-join, exact-Jaccard verify — the entire
+      // near-dup pipeline recomputed independently by DuckDB
+      "q_minhash_pairs" -> {
+        val shingleHash = HashSql.hash64SeedVar("t", "j")
+        val bandSigs = s"[${HashSql.toUnsigned("g[b * 4 + r + 1]")} for r in range(0, 4)]"
+        s"""WITH $twinsCorpus,
+           |words AS (SELECT id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS w FROM corpus),
+           |sh AS (SELECT id,
+           |  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS s
+           |  FROM words),
+           |sig AS (SELECT id, [list_min([$shingleHash for t in s]) for j in range(0, 16)] AS g FROM sh),
+           |bnd AS (SELECT id, b, ${HashSql.bandKey("b", bandSigs)} AS bucket
+           |        FROM sig, range(0, 4) r(b)),
+           |ok AS (SELECT b, bucket FROM bnd GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+           |pr AS (SELECT bnd.* FROM bnd JOIN ok USING (b, bucket)),
+           |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |         FROM pr a JOIN pr c ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
+           |ver AS (SELECT id_a, id_b,
+           |  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+           |  FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b)
+           |SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // full pigeonhole mirror: 64-bit simhash signatures from per-token
+      // majority bits, block keys, skew cap, bucket self-join, exact
+      // hamming verify
+      "q_simhash_pairs" -> {
+        val tokenHash = HashSql.mix64(HashSql.md5Base("t")) // unsigned
+        val sigExpr =
+          s"""list_sum([CASE WHEN 2 * list_sum([CASE WHEN (h // pw[j]) % 2 = 1 THEN 1 ELSE 0 END for h in hs]) > len(hs)
+             |  THEN pw[j] ELSE CAST(0 AS HUGEINT) END for j in range(1, 65)])""".stripMargin
+        val blockKeys = Dedup.simhashBlocks(2).map { case (st, w) =>
+          val div = java.math.BigInteger.ONE.shiftLeft(st)
+          val mod = java.math.BigInteger.ONE.shiftLeft(w)
+          s"(sig // $div) % $mod"
+        }.mkString("[", ", ", "]")
+        s"""WITH $twinsCorpus,
+           |tk AS (SELECT id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS tk FROM corpus),
+           |p AS (SELECT ${HashSql.pow2List} AS pw),
+           |hv AS (SELECT id, [$tokenHash for t in tk] AS hs FROM tk),
+           |sigs AS (SELECT id, $sigExpr AS sig FROM hv, p),
+           |ks AS (SELECT id, sig, $blockKeys AS keys FROM sigs),
+           |eb AS (SELECT id, sig, b, keys[b + 1] AS key FROM ks, range(0, 3) r(b)),
+           |ok AS (SELECT b, key FROM eb GROUP BY 1, 2 HAVING COUNT(*) <= 4096),
+           |pr AS (SELECT eb.* FROM eb JOIN ok USING (b, key)),
+           |pairs AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+           |    CAST(bit_count(xor(a.sig, c.sig)) AS INTEGER) AS hamming
+           |  FROM pr a JOIN pr c ON a.b = c.b AND a.key = c.key AND a.id < c.id)
+           |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      // winnowing mirror: rolling k-gram hashes (exact wraparound fold),
+      // per-window minima, distinct fingerprints, overlap with the twin
+      "q_winnow_overlap" -> {
+        val roll = HashSql.rollHash("codes")
+        val rollAt = HashSql.rollHash("codes[i:i+7]")
+        s"""WITH $twinsCorpus,
+           |cl AS (SELECT id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl FROM corpus),
+           |cd AS (SELECT id, [CAST(unicode(ch) AS HUGEINT) for ch in string_split(cl, '')] AS codes, len(cl) AS n FROM cl),
+           |h AS (SELECT id, CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+           |            WHEN n < 8 THEN [$roll]
+           |            ELSE [$rollAt for i in range(1, n - 6)] END AS hs FROM cd),
+           |f AS (SELECT id, list_distinct([list_min(hs[w:w+15])
+           |                 for w in range(1, greatest(1, len(hs) - 15) + 1)]) AS fps FROM h)
+           |SELECT o.id AS id, CAST(len(o.fps) AS INTEGER) AS n_orig,
+           |  CAST(len(list_intersect(o.fps, t.fps)) AS INTEGER) AS shared
+           |FROM f o JOIN f t ON t.id = -o.id - 1
+           |WHERE o.id >= 0 AND o.id % 50 = 0
+           |ORDER BY o.id""".stripMargin
+      },
 
       "q_drift_scores" ->
         """WITH bins AS (

@@ -26,20 +26,34 @@ object Dedup {
           concat_ws(" ", slice(words, i + 1, lit(k))))))
   }
 
-  /** 64-bit string hash with a seed (FNV-1a over UTF-8 with seed mixing).
-    * The LSH hash family does NOT need to match any SQL builtin — candidate
-    * pairs are verified with exact Jaccard afterwards. */
-  private[engine] def hash64(s: String, seed: Int): Long = {
-    var h = 0xcbf29ce484222325L ^ (seed * 0x9e3779b97f4a7c15L)
-    val bytes = s.getBytes("UTF-8")
-    var i = 0
-    while (i < bytes.length) {
-      h ^= (bytes(i) & 0xffL)
-      h *= 0x100000001b3L
-      i += 1
-    }
-    h ^ (h >>> 33)
+  /** splitmix64 golden-ratio increment (public constant). */
+  private[engine] val golden = 0x9e3779b97f4a7c15L
+
+  /** splitmix64 finalizer — decorrelates seeds over the md5 base. */
+  private[engine] def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L
+    z ^= (z >>> 27); z *= 0x94d049bb133111ebL
+    z ^ (z >>> 31)
   }
+
+  /** First 8 bytes of the string's MD5, big-endian. `md` is reused across
+    * calls (MessageDigest.digest resets) so hot loops allocate nothing. */
+  private[engine] def md5Base(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+  }
+
+  /** 64-bit string hash with a seed: splitmix64 finalizer over the string's
+    * md5 base plus `seed · golden`. MD5 supplies the per-string entropy and
+    * the finalizer decorrelates seeds; chosen over a bespoke FNV loop
+    * because every stage is exactly mirrorable in DuckDB ([[HashSql]]), so
+    * even the LSH signature/bucketing stages are hash-match oracled — the
+    * same design move as [[Similarity.srpSigns]]' SQL-literal sign matrix. */
+  private[engine] def hash64(s: String, seed: Int): Long =
+    mix64(md5Base(java.security.MessageDigest.getInstance("MD5"), s) + seed * golden)
 
   private[engine] def shinglesOf(text: String, k: Int): Array[String] = {
     val words = text.trim.split("\\s+")
@@ -69,14 +83,17 @@ object Dedup {
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         iter.map { case (id, text) =>
           val sh = shinglesOf(text, k)
           val sig = Array.fill(h)(Long.MaxValue)
           var si = 0
           while (si < sh.length) {
+            // md5 once per shingle; per-seed hashes are cheap mixes on top
+            val base = md5Base(md, sh(si))
             var j = 0
             while (j < h) {
-              val hv = hash64(sh(si), j)
+              val hv = mix64(base + j * golden)
               if (hv < sig(j)) sig(j) = hv
               j += 1
             }
@@ -188,12 +205,13 @@ object Dedup {
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
         iter.map { case (id, text) =>
           val tokens = text.trim.split("\\s+")
           val counters = new Array[Int](64)
           var ti = 0
           while (ti < tokens.length) {
-            val hv = hash64(tokens(ti), 0)
+            val hv = mix64(md5Base(md, tokens(ti))) // hash64(token, 0)
             var j = 0
             while (j < 64) {
               if (((hv >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
@@ -222,7 +240,7 @@ object Dedup {
     * sane `maxBucket` far past 10⁹ docs — the 32-bit variant's 8-bit blocks
     * (256 buckets) would ALL exceed the cap and be dropped, silently
     * collapsing recall to zero. */
-  private[engine] def simhashBlocks(maxHamming: Int): Array[(Int, Int)] = {
+  private[graft] def simhashBlocks(maxHamming: Int): Array[(Int, Int)] = {
     require(maxHamming >= 0 && maxHamming < 32,
       s"maxHamming must be in [0, 32): got $maxHamming — " +
         "64/(maxHamming+1)-bit blocks would collapse and lose recall")

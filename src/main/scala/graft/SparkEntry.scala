@@ -281,8 +281,20 @@ object SparkEntry {
         .select("media_ref", "mime", "width", "height")
         .orderBy("media_ref")),
 
+    // deterministic frame sampling over the video items (pure Column logic
+    // over the decoded frame count — the "sample every Nth frame" stage of
+    // a multimodal pipeline)
+    "q_media_frames" -> ((s, dir) =>
+      MediaOps.extractFeatures(MediaOps.syntheticMedia(s)).toDF()
+        .where(col("mime") === "video/mp4")
+        .select(col("media_ref"), col("frames"),
+          MediaOps.sampleFrameIndexes(col("frames"), 5).as("sampled"))
+        .select(col("media_ref"), col("frames"),
+          size(col("sampled")).as("n_sampled"), col("sampled"))
+        .orderBy("media_ref")),
+
     // winnowing fingerprint overlap between originals and their mutated
-    // twins (rows-only: rolling hash is engine-side; spec gates semantics)
+    // twins
     "q_winnow_overlap" -> ((s, dir) => {
       val corpus = TextOps.withMutatedTwins(
         s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
@@ -602,6 +614,18 @@ object SparkEntry {
            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
            |ORDER BY id_a, id_b""".stripMargin
       },
+
+      // frame sampling mirror: the Spark side DECODES the GFTV header for
+      // the frame count; the oracle recomputes it from the construction
+      // formula and samples the same stride
+      "q_media_frames" ->
+        """WITH cat AS (
+          |  SELECT i, i * 1024 + 64 AS bytes, 'm-' || CAST(i AS VARCHAR) AS media_ref
+          |  FROM range(0, 200) t(i))
+          |SELECT media_ref, CAST(1 + i % 30 AS INTEGER) AS frames,
+          |  CAST(len([x for x in range(0, 1 + i % 30) if x % 5 = 0]) AS INTEGER) AS n_sampled,
+          |  [CAST(x AS INTEGER) for x in range(0, 1 + i % 30) if x % 5 = 0] AS sampled
+          |FROM cat WHERE bytes % 3 = 2 ORDER BY media_ref""".stripMargin,
 
       // winnowing mirror: rolling k-gram hashes (exact wraparound fold),
       // per-window minima, distinct fingerprints, overlap with the twin

@@ -143,7 +143,13 @@ object Dedup {
       .agg(count(lit(1)).as("_bsize"))
       .where(col("_bsize") <= maxBucket)
       .select("band", "bucket")
+    // shuffle the (band, bucket, id) triples by key ONCE and persist the
+    // co-partitioned result: both self-join sides read the cache, so the
+    // join adds no second exchange and the prune-join runs once (the
+    // alias-renamed sides defeat Catalyst's ReuseExchange otherwise)
     val pruned = exploded.join(smallBuckets, Seq("band", "bucket"))
+      .repartition(col("band"), col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -281,7 +287,11 @@ object Dedup {
       .agg(count(lit(1)).as("_bsize"))
       .where(col("_bsize") <= maxBucket)
       .select("block", "key")
+    // same single-shuffle discipline as minhashPairs: co-partition + cache
+    // the pruned frame so the self-join adds no second payload exchange
     val pruned = exploded.join(smallBuckets, Seq("block", "key"))
+      .repartition(col("block"), col("key"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pruned.select(col("block"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(pruned.select(col("block"), col("key"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("block", "key"))

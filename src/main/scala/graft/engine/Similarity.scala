@@ -159,12 +159,21 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 100000): DataFrame = {
     val withBucket = srpFrame(corpus, idCol, vecCol, bits)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val smallBuckets = withBucket.groupBy("bucket")
       .agg(count(lit(1)).as("_bsize"))
       .where(col("_bsize") <= maxBucket)
       .select("bucket")
+    // shuffle the vector payload by bucket ONCE and persist the
+    // co-partitioned result: both self-join sides read the cache, so the
+    // join adds only sorts, no further payload exchange. (The alias-renamed
+    // sides defeat Catalyst's ReuseExchange — measured: the naive shape
+    // shuffles the full payload twice and runs the prune-agg twice at 2M
+    // rows.) The prune-agg input (withBucket) is recomputed rather than
+    // cached — it is a shuffle-free scan projection, which at corpus scale
+    // is far cheaper than caching the whole corpus.
     val pruned = withBucket.join(smallBuckets, Seq("bucket"))
+      .repartition(col("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = pruned.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = pruned.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = a.join(b, Seq("bucket"))

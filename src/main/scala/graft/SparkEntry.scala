@@ -185,6 +185,19 @@ object SparkEntry {
       Dedup.components(Dedup.exactDupEdges(fp, "id", "f"))
     }),
 
+    // same clustering through the O(log n)-round large-star/small-star
+    // contraction (the at-scale variant for arbitrary graph shapes); same
+    // independent oracle
+    "q_dedup_components_star" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = docs.unionByName(
+        docs.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      val fp = corpus.select(col("doc_id").as("id"),
+        TextOps.fingerprint(coalesce(col("text"), lit(""))).as("f"))
+      Dedup.componentsStar(Dedup.exactDupEdges(fp, "id", "f"))
+    }),
+
     // LSH candidate generation is hash-function-specific → rows-only checks;
     // EngineSpec asserts recall of the known twins.
     "q_minhash_pairs" -> ((s, dir) =>
@@ -527,6 +540,19 @@ object SparkEntry {
           |FROM corpus GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
 
       "q_dedup_components" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+          |fp AS (SELECT doc_id AS id,
+          |  md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
+          |  FROM corpus),
+          |dup AS (SELECT f FROM fp GROUP BY 1 HAVING COUNT(*) > 1)
+          |SELECT id, MIN(id) OVER (PARTITION BY f) AS component
+          |FROM fp JOIN dup USING (f)
+          |ORDER BY id""".stripMargin,
+
+      "q_dedup_components_star" ->
         """WITH corpus AS (
           |  SELECT doc_id, text FROM documents
           |  UNION ALL

@@ -366,6 +366,64 @@ object Dedup {
     labels.orderBy("id")
   }
 
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): converges in O(log n) rounds on ANY graph shape —
+    * the at-scale alternative to [[components]], whose round count is the
+    * graph diameter (fine for near-clique dup groups, a non-starter for
+    * long chains: a 500-deep chain blows [[components]]' iteration cap,
+    * while this needs ~⌈log₂ 500⌉ rounds).
+    *
+    * Each round is two window-min passes over the canonical edge list
+    * (large-star hangs every greater neighbor off the local min; small-star
+    * contracts the remaining smaller neighbors onto it). Same output
+    * contract as [[components]]: (id, component-min) for every node
+    * appearing in `pairs`. */
+  def componentsStar(pairs: DataFrame, maxIters: Int = 60): DataFrame = {
+    val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    // canonical edge form: u > v, no self-loops, distinct
+    def canon(e: DataFrame): DataFrame =
+      e.where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .distinct()
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      canon(sym.withColumn("m", least(min(col("v")).over(wU), col("u")))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // canonical edges already point big → small
+      val withM = e.withColumn("m", least(min(col("v")).over(wU), col("u")))
+      canon(withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v"))))
+    }
+    val nodes = pairs.select(col("id_a").cast(LongType).as("id"))
+      .union(pairs.select(col("id_b").cast(LongType).as("id")))
+      .distinct().localCheckpoint(true)
+    var edges = canon(pairs.select(col("id_a").cast(LongType).as("u"),
+        col("id_b").cast(LongType).as("v")))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged) {
+      if (iter >= maxIters)
+        throw new IllegalStateException(
+          s"star contraction did not converge in $maxIters rounds")
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // exact fixed-point test (two anti-joins); at extreme scale swap for
+      // a (count, checksum) comparison — the loop body stays identical
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      iter += 1
+    }
+    // converged edge set is the star (member → component-min); nodes absent
+    // from it (roots, self-loop-only nodes) label themselves
+    nodes.join(edges.select(col("u").as("id"), col("v").as("component")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+      .orderBy("id")
+  }
+
   /** Canonical-doc selection: keep the smallest-id member of every dup
     * component, pass through docs that appear in no pair. */
   def canonicalize(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {

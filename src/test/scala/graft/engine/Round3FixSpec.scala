@@ -30,6 +30,48 @@ class Round3FixSpec extends AnyFunSuite {
     assert(!comp.contains(4000L) && !comp.contains(4001L))
   }
 
+  test("componentsStar matches union-find ground truth on varied random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 60 + trial * 20
+      val edges = (1 to n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find ground truth
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val truth = nodes.map(x => x -> find(x)).toMap
+      val got = Dedup.componentsStar(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"trial $trial (n=$n)")
+    }
+  }
+
+  test("componentsStar converges logarithmically where label propagation cannot") {
+    // a 400-deep chain: diameter 399 ≫ components' 25-round safety rail,
+    // but star contraction needs only O(log n) rounds
+    val chain = (0L until 399L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException](Dedup.components(chain).collect())
+    val labels = Dedup.componentsStar(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === 400)
+    assert(labels.forall(_._2 == 0L), "every chain node must label to the min")
+    // parity with components on a near-clique dup-group shape
+    val groups = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val a = Dedup.components(groups).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.componentsStar(groups).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+  }
+
   test("media features derive from decoded content (pixel/PCM/content-byte formulas)") {
     // PNG i=5: feature f samples the decoded blue channel at (f % w, (f*3) % h)
     val i = 5

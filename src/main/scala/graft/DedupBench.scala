@@ -1,0 +1,115 @@
+package graft
+
+import graft.engine.{Dedup, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-dedup throughput at replicated scale: `documents` ×N (default 100 →
+  * 500k docs; each replica gets replica-specific trailing tokens so the
+  * corpus isn't a degenerate all-duplicates cluster, mirroring AnnBench's
+  * design), measuring the three dedup pipelines end-to-end at two-plus
+  * parallelism levels. Results are committed to BASELINE.md. */
+object DedupBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-dedupbench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def corpusTable(spark: SparkSession, sfDir: String, replicate: Int): String = {
+    val path = s"/tmp/graft-dedupbench/${new java.io.File(sfDir).getName}-x$replicate"
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      import spark.implicits._
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long"), coalesce(col("text"), lit("")).as("text"))
+        .as[(Long, String)].collect()
+      spark.sparkContext.parallelize(0 until replicate, 64)
+        .flatMap { k =>
+          base.iterator.map { case (id, text) =>
+            // k = 0 keeps the originals verbatim; other replicas are FRESH
+            // pseudo-random word sequences (shared vocabulary, disjoint
+            // shingles) — a suffix-mutated copy would make every same-doc
+            // replica pair a TRUE near-dup, turning the bench into a
+            // measurement of an inherently quadratic 25M-pair output
+            // instead of pipeline throughput under a sane dup rate
+            val t =
+              if (k == 0) text
+              else {
+                val words = 40 + (id % 80).toInt
+                val sb = new StringBuilder
+                var p = 0
+                while (p < words) {
+                  var z = k.toLong * 7368787L + id * 131L + p
+                  z ^= (z >>> 30); z *= 0xbf58476d1ce4e5b9L; z ^= (z >>> 27)
+                  sb.append("w").append(java.lang.Long.remainderUnsigned(z, 50000L)).append(' ')
+                  p += 1
+                }
+                sb.toString.trim
+              }
+            (id + k.toLong * 1000000L, t)
+          }
+        }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPLICATE", "100").toInt
+    val setup = session(32)
+    val table = corpusTable(setup, sfDir, replicate)
+    val n = setup.read.parquet(table).count()
+    setup.stop()
+
+    def run(cpus: Int): (Double, Double, Double) = {
+      val s = session(cpus)
+      try {
+        val docs = s.read.parquet(table)
+        def exact(): Double = time {
+          docs.select(TextOps.fingerprint(col("text")).as("f"))
+            .groupBy("f").agg(count(lit(1)).as("c")).where(col("c") > 1).count()
+        }
+        def minhash(): Double = time {
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8,
+            maxBucket = 256).count()
+        }
+        def simhash(): Double = time {
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2,
+            maxBucket = 4096).count()
+        }
+        exact(); minhash(); simhash() // warm-up
+        ((1 to 3).map(_ => exact()).min,
+          (1 to 3).map(_ => minhash()).min,
+          (1 to 3).map(_ => simhash()).min)
+      } finally s.stop()
+    }
+
+    val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
+    val json =
+      s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
+      Seq(32, 16, 8, 4).map { c =>
+        val (e, m, h) = levels(c)
+        s""""exact_docs_per_sec_local$c":${f"${n / e}%.0f"},""" +
+        s""""minhash_docs_per_sec_local$c":${f"${n / m}%.0f"},""" +
+        s""""simhash_docs_per_sec_local$c":${f"${n / h}%.0f"}"""
+      }.mkString(",") + "," +
+      s""""minhash_efficiency_4_to_16":${f"${(levels(4)._2 / levels(16)._2) / 4.0}%.3f"},""" +
+      s""""simhash_efficiency_4_to_16":${f"${(levels(4)._3 / levels(16)._3) / 4.0}%.3f"}}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("dedup_bench_out.json"), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[dedupbench] write failed: $e") }
+  }
+}

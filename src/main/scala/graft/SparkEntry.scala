@@ -306,6 +306,15 @@ object SparkEntry {
           size(col("sampled")).as("n_sampled"), col("sampled"))
         .orderBy("media_ref")),
 
+    // winnowing inverted-index near-dup pairs (the plagiarism-detection
+    // join: docs sharing >= minShared fingerprints, skew-capped)
+    "q_winnow_pairs" -> ((s, dir) =>
+      Dedup.winnowPairs(
+        TextOps.withMutatedTwins(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", "text", minShared = 8)),
+
     // winnowing fingerprint overlap between originals and their mutated
     // twins
     "q_winnow_overlap" -> ((s, dir) => {
@@ -652,6 +661,28 @@ object SparkEntry {
           |  CAST(len([x for x in range(0, 1 + i % 30) if x % 5 = 0]) AS INTEGER) AS n_sampled,
           |  [CAST(x AS INTEGER) for x in range(0, 1 + i % 30) if x % 5 = 0] AS sampled
           |FROM cat WHERE bytes % 3 = 2 ORDER BY media_ref""".stripMargin,
+
+      // winnowing inverted-index mirror: same fingerprint CTEs, then the
+      // full skew-capped index self-join recomputed in SQL
+      "q_winnow_pairs" -> {
+        val roll = HashSql.rollHash("codes")
+        val rollAt = HashSql.rollHash("codes[i:i+7]")
+        s"""WITH $twinsCorpus,
+           |cl AS (SELECT id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl FROM corpus),
+           |cd AS (SELECT id, [CAST(unicode(ch) AS HUGEINT) for ch in string_split(cl, '')] AS codes, len(cl) AS n FROM cl),
+           |h AS (SELECT id, CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+           |            WHEN n < 8 THEN [$roll]
+           |            ELSE [$rollAt for i in range(1, n - 6)] END AS hs FROM cd),
+           |f AS (SELECT id, list_distinct([list_min(hs[w:w+15])
+           |                 for w in range(1, greatest(1, len(hs) - 15) + 1)]) AS fps FROM h),
+           |inv AS (SELECT id, unnest(fps) AS f FROM f),
+           |small AS (SELECT f FROM inv GROUP BY 1 HAVING COUNT(*) <= 10000),
+           |pi AS (SELECT inv.* FROM inv JOIN small USING (f))
+           |SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared
+           |FROM pi a JOIN pi b ON a.f = b.f AND a.id < b.id
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+           |ORDER BY 1, 2""".stripMargin
+      },
 
       // winnowing mirror: rolling k-gram hashes (exact wraparound fold),
       // per-window minima, distinct fingerprints, overlap with the twin

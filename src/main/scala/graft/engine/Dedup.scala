@@ -303,6 +303,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Winnowing near-dup pairs: each doc's winnowing fingerprints
+    * ([[TextOps.winnowingFingerprints]]) explode into an inverted index
+    * (fingerprint → ids); docs sharing ≥ `minShared` fingerprints are
+    * near-dup candidates — the classic plagiarism-detection join. Same
+    * scale discipline as [[minhashPairs]]: hot fingerprints (boilerplate
+    * runs) above `maxBucket` are dropped, and the pruned index is
+    * co-partitioned + cached once so the self-join adds no second payload
+    * exchange. Output: (id_a, id_b, shared) with id_a < id_b. */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 16, minShared: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val inv = TextOps.winnowingFingerprints(docs, idCol, textCol, k, window)
+      .select(col("id"), explode(col("fingerprints")).as("f"))
+    val small = inv.groupBy("f").agg(count(lit(1)).as("_n"))
+      .where(col("_n") <= maxBucket).select("f")
+    val pruned = inv.join(small, Seq("f"))
+      .repartition(col("f"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-doc fingerprints are distinct, so the per-pair match count IS the
+    // intersection size — no post-hoc verify needed
+    pruned.select(col("f"), col("id").as("id_a"))
+      .join(pruned.select(col("f"), col("id").as("id_b")), Seq("f"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Linear-size edge set for exact-duplicate groups: one (group-min → id)
     * star edge per non-min member of every duplicate group, via a window
     * min over the group key — O(group) edges where a within-group self-join

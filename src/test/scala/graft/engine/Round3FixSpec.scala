@@ -72,6 +72,28 @@ class Round3FixSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("winnowPairs finds mutated twins through the inverted index, skew-capped") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = TextOps.withMutatedTwins(docs, "doc_id", "text")
+    // minShared must respect the corpus' shortest docs: a ~12-word doc only
+    // has a handful of distinct fingerprints, so an absolute 8 misses its
+    // twin even though they share nearly everything (winnowing is local —
+    // a suffix mutation leaves all earlier window minima identical)
+    val pairs = Dedup.winnowPairs(corpus, "doc_id", "text", minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val twins = docs.where(col("doc_id") % 50 === 0).select("doc_id").collect()
+      .map(_.getLong(0)).map(id => (-id - 1, id)).toSet
+    twins.foreach(t => assert(pairs.contains(t), s"missed twin $t"))
+    // boilerplate: one hot fingerprint set duplicated 500× must be capped,
+    // not joined quadratically
+    val boiler = (0 until 500).map(i => (i.toLong,
+      "the exact same boilerplate sentence repeated across every document in the corpus"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.winnowPairs(boiler, "doc_id", "text", minShared = 1, maxBucket = 100)
+    assert(capped.count() === 0, "hot fingerprints above the cap must be dropped")
+  }
+
   test("media features derive from decoded content (pixel/PCM/content-byte formulas)") {
     // PNG i=5: feature f samples the decoded blue channel at (f % w, (f*3) % h)
     val i = 5

@@ -331,6 +331,53 @@ object SparkEntry {
           size(col("fp_o")).as("n_orig"),
           size(array_intersect(col("fp_o"), col("fp_t"))).as("shared"))
         .orderBy("id")
+    }),
+
+    // ---- training-data pipeline assembly (Pipeline.scala) ----
+    // deterministic hash-bucketed train/val/test split
+    "q_split_assign" -> ((s, dir) =>
+      Pipeline.splitAssign(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", salt = 42)
+        .orderBy("doc_id")),
+
+    // per-source mixture sampling toward a target corpus mix
+    "q_mixture_sample" -> ((s, dir) =>
+      Pipeline.mixtureSample(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source", "lang"),
+        "doc_id", "source",
+        rates = Map("src0" -> 0.25, "src1" -> 0.0), defaultRate = 0.8, salt = 7)
+        .orderBy("doc_id")),
+
+    // train-test decontamination: word 6-gram overlap vs a benchmark subset
+    "q_decontam_overlap" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      Pipeline.decontaminate(d, d.where(col("doc_id") % 37 === 3),
+          "doc_id", "text", n = 6, minHits = 2)
+        .orderBy("doc_id")
+    }),
+
+    // GPT-style concat-and-chunk packing into budget-512 sequences
+    "q_pack_chunks" -> ((s, dir) =>
+      Pipeline.packChunks(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        budget = 512, buckets = 32)
+        .orderBy("doc_id")),
+
+    // Gopher-style repetition signals (+ an injected degenerate spam doc so
+    // the duplicate-n-gram paths are exercised, not vacuously zero)
+    "q_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
+      TextOps.repetitionSignals(corpus, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // composite C4/Gopher quality filter with per-rule reasons
+    "q_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
+      Pipeline.qualityFilter(corpus, "doc_id", "text").orderBy("doc_id")
     })
   )
 
@@ -843,7 +890,152 @@ object SparkEntry {
           |  CAST(CASE WHEN mime = 'image/png'
           |    THEN GREATEST(1, FLOOR(h * LEAST(1.0, 16.0 / GREATEST(w, h))))
           |    ELSE h END AS INTEGER) AS height
-          |FROM dims ORDER BY media_ref""".stripMargin
+          |FROM dims ORDER BY media_ref""".stripMargin,
+
+      // ---- training-data pipeline assembly mirrors ----
+      // split mirror: same md5+splitmix bucket (HashSql) mod 10,000, same
+      // cumulative-weight CASE (Pipeline.splitCaseSql)
+      "q_split_assign" ->
+        s"""WITH b AS (SELECT doc_id,
+           |    ${HashSql.bucket("'split:' || CAST(doc_id AS VARCHAR)", 42, 10000)} AS bucket
+           |  FROM documents)
+           |SELECT doc_id, bucket, ${Pipeline.splitCaseSql("bucket")} AS split
+           |FROM b ORDER BY doc_id""".stripMargin,
+
+      // mixture mirror: same 1e6-bucket hash, per-source rate thresholds
+      // computed by the SAME Scala double arithmetic the engine casts
+      "q_mixture_sample" ->
+        s"""WITH b AS (SELECT doc_id, source, lang,
+           |    ${HashSql.bucket("'mix:' || CAST(doc_id AS VARCHAR)", 7, 1000000)} AS mb
+           |  FROM documents)
+           |SELECT doc_id, source, lang FROM b
+           |WHERE mb < CASE WHEN source = 'src0' THEN ${(0.25 * 1000000.0).toLong}
+           |                WHEN source = 'src1' THEN ${(0.0 * 1000000.0).toLong}
+           |                ELSE ${(0.8 * 1000000.0).toLong} END
+           |ORDER BY doc_id""".stripMargin,
+
+      // decontamination mirror: normalized word 6-grams (whole-doc gram when
+      // shorter), hashed with the engine's seed-7 hash, joined against the
+      // distinct benchmark gram set
+      "q_decontam_overlap" ->
+        s"""WITH cl AS (SELECT doc_id AS id,
+           |    trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl
+           |  FROM documents),
+           |tok AS (SELECT id, string_split(cl, ' ') AS ts FROM cl),
+           |gr AS (SELECT id, list_distinct(CASE WHEN len(ts) <= 6 THEN [array_to_string(ts, ' ')]
+           |         ELSE [array_to_string(ts[i:i+5], ' ') for i in range(1, len(ts) - 4)] END) AS gs
+           |  FROM tok),
+           |hg AS (SELECT id, [${HashSql.hash64("g", 7)} for g in gs] AS hs FROM gr),
+           |inv AS (SELECT id, len(hs) AS n_grams, unnest(hs) AS g FROM hg),
+           |bg AS (SELECT DISTINCT g FROM inv WHERE id % 37 = 3)
+           |SELECT inv.id AS doc_id, CAST(inv.n_grams AS INTEGER) AS n_grams,
+           |  COUNT(*) AS hits, true AS contaminated
+           |FROM inv JOIN bg USING (g)
+           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+           |ORDER BY doc_id""".stripMargin,
+
+      // packing mirror: the engine's two-phase (bucket offsets + per-bucket
+      // window) exclusive prefix-sum equals ONE global window ordered
+      // (bucket, hash, id) — the oracle computes that global form directly
+      "q_pack_chunks" ->
+        s"""WITH t AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all(COALESCE(text, ''),
+           |      '${TextOps.bpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS toks
+           |  FROM documents),
+           |h AS (SELECT doc_id, toks,
+           |    ${HashSql.hash64("'pack:' || CAST(doc_id AS VARCHAR)", 0)} AS hv,
+           |    ${HashSql.bucket("'pack:' || CAST(doc_id AS VARCHAR)", 0, 32)} AS bucket
+           |  FROM t),
+           |c AS (SELECT doc_id, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (ORDER BY bucket, hv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           |  FROM h)
+           |SELECT doc_id, toks, start_off,
+           |  start_off // 512 AS first_seq,
+           |  (start_off + GREATEST(toks, 1) - 1) // 512 AS last_seq,
+           |  ((start_off + GREATEST(toks, 1) - 1) // 512) - (start_off // 512) + 1 AS n_seqs
+           |FROM c ORDER BY doc_id""".stripMargin,
+
+      // repetition mirror: per-doc n-gram frequency tables via unnest+group
+      // (the oracle may shuffle n-grams; the engine counts doc-locally)
+      "q_text_repetition" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT -999, repeat('buy now ', 30)),
+          |cl AS (SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS cl FROM corpus),
+          |tok AS (SELECT doc_id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
+          |base AS (SELECT doc_id, len(ts) AS n,
+          |    CASE WHEN len(ts) = 0 THEN 0.0 ELSE CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts) END AS distinct_ratio
+          |  FROM tok),
+          |bi AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+          |  FROM tok WHERE len(ts) >= 2),
+          |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+          |btop AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM bic GROUP BY 1),
+          |tri AS (SELECT doc_id, unnest([array_to_string(ts[i:i+2], ' ') for i in range(1, len(ts) - 1)]) AS g
+          |  FROM tok WHERE len(ts) >= 3),
+          |tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY 1, 2),
+          |tdup AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE) / SUM(c) AS dup_trigram_frac FROM tric GROUP BY 1)
+          |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens, b.distinct_ratio,
+          |  COALESCE(btop.top_bigram_frac, 0.0) AS top_bigram_frac,
+          |  COALESCE(tdup.dup_trigram_frac, 0.0) AS dup_trigram_frac
+          |FROM base b LEFT JOIN btop USING (doc_id) LEFT JOIN tdup USING (doc_id)
+          |ORDER BY doc_id""".stripMargin,
+
+      // quality-filter mirror: ratio/language/repetition inputs recomputed
+      // as in the q_text_quality / q_lang_id / q_text_repetition mirrors,
+      // folded through the same rule thresholds and concat_ws reasons
+      "q_quality_filter" ->
+        """WITH corpus AS (SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT -999, repeat('buy now ', 30)),
+          |t AS (SELECT doc_id, COALESCE(text, '') AS x,
+          |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
+          |    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+          |  FROM corpus),
+          |r AS (SELECT doc_id, tok,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
+          |    CASE WHEN tok = 0 THEN 0.0 ELSE (n - (tok - 1)) / tok END AS mean_word_len,
+          |    ' ' || lower(x) || ' ' AS p
+          |  FROM t),
+          |lh AS (SELECT doc_id,
+          |    (CASE WHEN strpos(p, ' the ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' and ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' of ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' to ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' in ') > 0 THEN 1 ELSE 0 END) AS s_en,
+          |    (CASE WHEN strpos(p, ' der ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' und ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' die ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' das ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' nicht ') > 0 THEN 1 ELSE 0 END) AS s_de,
+          |    (CASE WHEN strpos(p, ' le ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' la ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' et ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' les ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' des ') > 0 THEN 1 ELSE 0 END) AS s_fr,
+          |    (CASE WHEN strpos(p, ' el ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' que ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' los ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' una ') > 0 THEN 1 ELSE 0 END +
+          |     CASE WHEN strpos(p, ' por ') > 0 THEN 1 ELSE 0 END) AS s_es
+          |  FROM r),
+          |lang AS (SELECT doc_id,
+          |    CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+          |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+          |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+          |         WHEN s_fr >= s_es THEN 'fr'
+          |         ELSE 'es' END AS lid
+          |  FROM lh),
+          |cl AS (SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS cl FROM corpus),
+          |tokl AS (SELECT doc_id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
+          |bi AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+          |  FROM tokl WHERE len(ts) >= 2),
+          |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+          |btop AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM bic GROUP BY 1),
+          |rules AS (SELECT r.doc_id, tok,
+          |    concat_ws(',',
+          |      CASE WHEN tok < 10 THEN 'too_short' END,
+          |      CASE WHEN tok > 100000 THEN 'too_long' END,
+          |      CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+          |      CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
+          |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+          |      CASE WHEN lid <> 'en' THEN 'non_english' END,
+          |      CASE WHEN COALESCE(top_bigram_frac, 0.0) > 0.2 THEN 'repetitive' END) AS reasons
+          |  FROM r JOIN lang USING (doc_id) LEFT JOIN btop ON btop.doc_id = r.doc_id)
+          |SELECT doc_id, CAST(tok AS INTEGER) AS tokens, reasons, (reasons = '') AS keep
+          |FROM rules ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -61,6 +61,16 @@ private[graft] object HashSql {
   def hash64(sExpr: String, seed: Int): String =
     toSigned(mix64(s"(${md5Base(sExpr)} + ${seedAdd(seed)}) % $U64"))
 
+  /** [[Dedup.hash64]] kept UNSIGNED (HUGEINT in [0, 2^64)) — the form
+    * [[graft.engine.Pipeline.bucketOf]]'s `remainderUnsigned` sees. */
+  def hash64Unsigned(sExpr: String, seed: Int): String =
+    mix64(s"(${md5Base(sExpr)} + ${seedAdd(seed)}) % $U64")
+
+  /** `remainderUnsigned(hash64(s, seed), m)` as a BIGINT SQL expression —
+    * the deterministic bucket assignment of the Pipeline split/sample ops. */
+  def bucket(sExpr: String, seed: Int, m: Long): String =
+    s"CAST(${hash64Unsigned(sExpr, seed)} % $m AS BIGINT)"
+
   /** [[Dedup.hash64]] with the seed supplied by a comprehension VARIABLE
     * (`seedVar · golden` folded mod 2^64 in SQL). */
   def hash64SeedVar(sExpr: String, seedVar: String): String =

@@ -1,0 +1,223 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-data pipeline assembly operators: deterministic train/val/test
+  * splits, per-source mixture sampling, train-test decontamination, and
+  * GPT-style concat-and-chunk sequence packing. All derive their randomness
+  * from [[Dedup.hash64]] (md5 base + splitmix64), so every assignment is
+  * reproducible run-over-run, independent of partitioning, and exactly
+  * mirrorable in the DuckDB oracle via [[HashSql]].
+  *
+  * Scale notes (10^12 docs): every operator here is a narrow per-row
+  * projection or a broadcast join — the only shuffle in the module is
+  * [[packChunks]]' per-bucket window sort, which is bounded by the bucket
+  * count, never global.
+  */
+object Pipeline {
+
+  /** Unsigned remainder as both JVM and oracle compute it: the signed hash
+    * reinterpreted as u64, mod m. */
+  private[engine] def bucketOf(h: Long, m: Long): Long =
+    java.lang.Long.remainderUnsigned(h, m)
+
+  /** Deterministic train/val/test split: each doc hashes (with a salt) into
+    * one of 10,000 buckets; cumulative weight boundaries assign the split.
+    * Content-independent (id-keyed) so re-runs and backfills agree; salted
+    * so a new salt redraws the assignment. Pure narrow projection — no
+    * shuffle at any scale. Output: (doc_id, bucket, split). */
+  def splitAssign(
+      docs: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+      salt: Int = 0): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      "split weights must sum to 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail.zip(weights.map(_._1)) // (upperBoundExclusive, name)
+    docs.select(col(idCol).cast(LongType).as("doc_id")).as[Long]
+      .mapPartitions { iter =>
+        iter.map { id =>
+          val b = bucketOf(Dedup.hash64(s"split:$id", salt), 10000)
+          val split = bounds.find(b < _._1).map(_._2).getOrElse(bounds.last._2)
+          (id, b, split)
+        }
+      }
+      .toDF("doc_id", "bucket", "split")
+  }
+
+  /** The oracle-side CASE mirroring [[splitAssign]]'s bucket→name mapping. */
+  def splitCaseSql(bucketExpr: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02)): String = {
+    val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
+      acc + math.round(w * 10000)
+    }.tail.zip(weights.map(_._1))
+    bounds.init.map { case (ub, name) => s"WHEN $bucketExpr < $ub THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${bounds.last._2}' END")
+  }
+
+  /** Deterministic mixture sampling: keep a doc iff its salted hash bucket
+    * (out of 1e6) falls under its source's sampling rate — the standard way
+    * to hit a target corpus mixture (e.g. up-weight books, down-weight web)
+    * reproducibly. Sources absent from `rates` use `defaultRate`. Narrow
+    * projection; rates travel as a literal CASE chain (codegen), not a join. */
+  def mixtureSample(
+      docs: DataFrame, idCol: String, sourceCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0,
+      salt: Int = 0): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keep = udfFreeKeep(docs, idCol, salt)
+    val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(sourceCol) === s, r).otherwise(acc)
+    }
+    keep.where(col("_mixb") < (rateCol * 1000000.0).cast(LongType))
+      .drop("_mixb")
+  }
+
+  /** docs + `_mixb` (the doc's unsigned salted hash bucket out of 1e6),
+    * appended row-wise in one narrow typed map — keeps every original
+    * column without a join, so the sampler stays a single scan at any
+    * scale. (Spark-side Column arithmetic can't express the wraparound
+    * splitmix64 mix under ANSI overflow checks, hence the typed row map.) */
+  private def udfFreeKeep(docs: DataFrame, idCol: String, salt: Int): DataFrame = {
+    val schema = docs.schema.add("_mixb", LongType, nullable = false)
+    val idIdx = docs.schema.fieldIndex(idCol)
+    docs.map { row =>
+      val id = row.getLong(idIdx)
+      val b = bucketOf(Dedup.hash64(s"mix:$id", salt), 1000000)
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ b)
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Train-test decontamination: word n-gram overlap between the corpus and
+    * a (small) benchmark set — the standard "is the eval set leaking into
+    * training data" check. Both sides normalize (lower, collapsed
+    * whitespace), shingle with [[Dedup.shinglesOf]] (whole-doc gram when
+    * shorter than n), hash the grams, and the corpus joins the DISTINCT
+    * benchmark gram set. The benchmark side is broadcast — at 10^12 corpus
+    * docs the benchmark (eval suites, ~10^5 docs) is always the small side;
+    * the corpus side stays a narrow scan + broadcast-hash-join, no shuffle.
+    * Output per contaminated doc: (doc_id, n_grams, hits, contaminated). */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, minHits: Int = 1): DataFrame = {
+    val grams = gramFrame(corpus, idCol, textCol, n)
+    val benchGrams = gramFrame(benchmark, idCol, textCol, n)
+      .select(explode(col("grams")).as("g")).distinct()
+    grams.select(col("id").as("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("hits"))
+      .where(col("hits") >= minHits)
+      .withColumn("contaminated", lit(true))
+  }
+
+  /** (id, grams: array<long>) — distinct hashed word n-grams per doc. */
+  private def gramFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.map { case (id, text0) =>
+          val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+          val gs = Dedup.shinglesOf(text, n)
+            .map(g => Dedup.mix64(Dedup.md5Base(md, g) + 7 * Dedup.golden))
+          (id, gs)
+        }
+      }
+      .toDF("id", "grams")
+  }
+
+  /** GPT-style concat-and-chunk sequence packing: documents are laid out in
+    * a deterministic global order (hash-bucket major, hash minor), token
+    * counts accumulate, and every doc learns which fixed-`budget` training
+    * sequences it lands in. The global exclusive prefix-sum is computed in
+    * TWO PHASES — per-bucket partial sums (a `buckets`-row aggregate) are
+    * turned into bucket offsets on the driver and joined back broadcast, and
+    * the within-bucket running sum is a window partitioned BY BUCKET — so no
+    * stage ever sorts or windows the full corpus on one partition, which is
+    * what a naive `Window.orderBy` (global, single-partition) would do at
+    * 10^12 docs. Output: (doc_id, toks, start_off, first_seq, last_seq,
+    * n_seqs). */
+  def packChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.bpeTokenCount(coalesce(col(textCol), lit(""))).cast(LongType).as("toks"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, t) =>
+        val h = Dedup.hash64(s"pack:$id", 0)
+        (id, t, bucketOf(h, buckets), h)
+      })
+      .toDF("doc_id", "toks", "bucket", "h")
+    // phase 1: per-bucket totals → exclusive bucket offsets (driver-side —
+    // `buckets` rows, constant size regardless of corpus scale)
+    val sums = base.groupBy("bucket").agg(sum("toks").as("btoks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until buckets).scanLeft(0L) { case (acc, b) =>
+      acc + sums.getOrElse(b, 0L)
+    }.init.zipWithIndex.map { case (off, b) => (b.toLong, off) }
+    val offDf = spark.createDataFrame(offsets).toDF("bucket", "bucket_off")
+    // phase 2: within-bucket exclusive running sum — the window partitions
+    // by bucket, so the sort is per-bucket, never global
+    val w = Window.partitionBy("bucket").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(offDf), Seq("bucket"))
+      .withColumn("start_off", col("bucket_off") + coalesce(sum("toks").over(w), lit(0L)))
+      // exact integer division — floor(double) would silently lose exactness
+      // once cumulative token offsets pass 2^53
+      .withColumn("first_seq", expr(s"start_off div $budget"))
+      .withColumn("last_seq",
+        expr(s"(start_off + greatest(toks, 1L) - 1) div $budget"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+      .select("doc_id", "toks", "start_off", "first_seq", "last_seq", "n_seqs")
+  }
+
+  /** Composite C4/Gopher-style quality filter: length bounds, character
+    * ratios, language, and repetition thresholds fold into a keep/drop
+    * verdict with the list of failed rules. Ratio/language inputs are pure
+    * codegen Column trees ([[TextOps.qualityColumns]]); repetition comes
+    * from [[TextOps.repetitionSignals]]' typed projection, joined back on
+    * id. `reasons` is a comma-joined string (concat_ws skips the NULLs of
+    * passing rules) — no higher-order array functions, so the verdict stays
+    * codegen'd. Output: (doc_id, tokens, reasons, keep). */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val q = TextOps.qualityColumns(text).toMap
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      TextOps.tokenCount(text).as("tokens"),
+      q("alpha_ratio").as("alpha_ratio"), q("digit_ratio").as("digit_ratio"),
+      q("mean_word_len").as("mean_word_len"),
+      TextOps.langId(text).as("lang_id"))
+    val rep = TextOps.repetitionSignals(
+      docs.select(col(idCol).as(idCol), col(textCol).as(textCol)), idCol, textCol)
+      .select(col("doc_id"), col("top_bigram_frac"))
+    val rules = Seq(
+      "too_short" -> (col("tokens") < 10),
+      "too_long" -> (col("tokens") > 100000),
+      "low_alpha" -> (col("alpha_ratio") < 0.5),
+      "high_digit" -> (col("digit_ratio") > 0.2),
+      "word_len" -> (col("mean_word_len") < 2.0 || col("mean_word_len") > 12.0),
+      "non_english" -> (col("lang_id") =!= "en"),
+      "repetitive" -> (col("top_bigram_frac") > 0.2))
+    val reasons = concat_ws(",", rules.map { case (name, cond) =>
+      when(cond, name).otherwise(lit(null).cast(StringType))
+    }: _*)
+    base.join(rep, Seq("doc_id"))
+      .withColumn("reasons", reasons)
+      .withColumn("keep", col("reasons") === "")
+      .select("doc_id", "tokens", "reasons", "keep")
+  }
+}

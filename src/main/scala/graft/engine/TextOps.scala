@@ -143,6 +143,52 @@ object TextOps {
     h ^ (h >>> 33)
   }
 
+  /** Gopher-style repetition signals, per doc: type-token ratio, the
+    * fraction of bigram occurrences taken by the most frequent bigram, and
+    * the fraction of trigram occurrences whose trigram repeats — the
+    * standard "is this doc degenerate boilerplate" filters. One narrow typed
+    * projection (per-doc local counting, no explode/shuffle — at 10^12 docs
+    * an explode-and-groupBy formulation would shuffle every n-gram
+    * occurrence in the corpus). Output: (doc_id, n_tokens, distinct_ratio,
+    * top_bigram_frac, dup_trigram_frac). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text0) =>
+        val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+        val tokens = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        val n = tokens.length
+        val distinctRatio =
+          if (n == 0) 0.0 else tokens.distinct.length.toDouble / n
+        def gramStats(g: Int): (Double, Double) = {
+          val total = n - g + 1
+          if (total <= 0) (0.0, 0.0)
+          else {
+            val counts = new java.util.HashMap[String, Int]()
+            var i = 0
+            while (i <= n - g) {
+              val gram = tokens.slice(i, i + g).mkString(" ")
+              counts.merge(gram, 1, Integer.sum)
+              i += 1
+            }
+            var top = 0; var dup = 0
+            counts.values.forEach { c =>
+              if (c > top) top = c
+              if (c > 1) dup += c
+            }
+            (top.toDouble / total, dup.toDouble / total)
+          }
+        }
+        val (topBi, _) = gramStats(2)
+        val (_, dupTri) = gramStats(3)
+        (id, n.toLong, distinctRatio, topBi, dupTri)
+      })
+      .toDF("doc_id", "n_tokens", "distinct_ratio", "top_bigram_frac", "dup_trigram_frac")
+  }
+
   /** Exact near-dup corpus for tests/benches: every doc whose id hits the
     * dup rate gets a mutated twin, so near-dup detection has known answers. */
   def withMutatedTwins(docs: DataFrame, idCol: String, textCol: String, rate: Int = 50): DataFrame = {

@@ -1,0 +1,136 @@
+package graft.engine
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline assembly: splits, mixture sampling,
+  * decontamination, concat-and-chunk packing, repetition signals and the
+  * composite quality filter — each tested for semantics AND for the
+  * properties that must hold at corpus scale (determinism under
+  * repartitioning, broadcast shape, no global sort). */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("splitAssign is exhaustive, near the target weights, and partition-independent") {
+    val a = Pipeline.splitAssign(docs, "doc_id", salt = 42)
+    val byName = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(byName.values.sum === n.toLong) // every doc assigned exactly once
+    assert(byName("train") / n > 0.90 && byName("train") / n < 1.0)
+    // id-keyed hashing: the assignment cannot depend on physical layout
+    val b = Pipeline.splitAssign(docs.repartition(7), "doc_id", salt = 42)
+    assert(a.collect().toSet === b.collect().toSet)
+    // a different salt redraws (some doc moves at these sizes)
+    val c = Pipeline.splitAssign(docs, "doc_id", salt = 43)
+    assert(c.collect().toSet !== a.collect().toSet)
+  }
+
+  test("mixtureSample honors per-source rates exactly at the 0/1 extremes") {
+    val d = docs.select(col("doc_id"), col("source"))
+    val kept = Pipeline.mixtureSample(d, "doc_id", "source",
+      rates = Map("src0" -> 0.0), defaultRate = 1.0)
+    assert(kept.where(col("source") === "src0").count() === 0)
+    assert(kept.count() === d.where(col("source") =!= "src0").count())
+    // deterministic: same salt → same sample, regardless of partitioning
+    val k1 = Pipeline.mixtureSample(d, "doc_id", "source", Map("src1" -> 0.3), salt = 5)
+      .select("doc_id").as[Long].collect().toSet
+    val k2 = Pipeline.mixtureSample(d.repartition(5), "doc_id", "source", Map("src1" -> 0.3), salt = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(k1 === k2)
+  }
+
+  test("decontaminate flags planted benchmark copies and broadcasts the benchmark side") {
+    val corpus = docs.select("doc_id", "text")
+    val bench = corpus.where(col("doc_id") % 10 === 1)
+    val hits = Pipeline.decontaminate(corpus, bench, "doc_id", "text", n = 6)
+    val flagged = hits.select("doc_id").as[Long].collect().toSet
+    // every benchmark doc is verbatim in the corpus → fully contaminated
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    assert(benchIds.subsetOf(flagged), s"missed ${benchIds -- flagged}")
+    // full self-overlap: hits == n_grams on the planted copies
+    val full = hits.where(col("doc_id") % 10 === 1)
+      .where(col("hits") === col("n_grams")).count()
+    assert(full === benchIds.size)
+    // the benchmark gram set must join broadcast — a shuffle join here would
+    // shuffle every corpus n-gram at 10^12 docs
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("packChunks two-phase prefix-sum equals the global-window reference") {
+    val packed = Pipeline.packChunks(docs, "doc_id", "text", budget = 128, buckets = 8)
+    // reference: the same layout computed with ONE global window (fine at
+    // test scale; the operator itself must never do this)
+    val base = docs.select(col("doc_id"),
+        TextOps.bpeTokenCount(coalesce(col("text"), lit(""))).cast("long").as("toks"))
+      .as[(Long, Long)]
+      .map { case (id, t) =>
+        val h = Dedup.hash64(s"pack:$id", 0)
+        (id, t, Pipeline.bucketOf(h, 8), h)
+      }
+      .toDF("doc_id", "toks", "bucket", "h")
+    val w = Window.orderBy("bucket", "h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = base
+      .withColumn("start_off", coalesce(sum("toks").over(w), lit(0L)))
+      .select("doc_id", "start_off")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = packed.select("doc_id", "start_off")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref)
+    // layout invariants: offsets tile the token stream; every doc gets ≥1 seq
+    val rows = packed.collect()
+    val totalToks = rows.map(_.getAs[Long]("toks")).sum
+    assert(rows.map(r => r.getAs[Long]("start_off") + r.getAs[Long]("toks")).max === totalToks)
+    assert(rows.forall(_.getAs[Long]("n_seqs") >= 1))
+    // physical-layout independence
+    val re = Pipeline.packChunks(docs.repartition(13), "doc_id", "text", budget = 128, buckets = 8)
+      .select("doc_id", "start_off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re === got)
+    // and the operator's plan must not contain a global (empty-partition)
+    // window — only the per-bucket one
+    val planStr = packed.queryExecution.executedPlan.toString
+    assert(!planStr.contains("Window [") || !planStr.contains("partitionBy=[]"),
+      "global window found in packChunks plan")
+  }
+
+  test("repetitionSignals: degenerate spam doc gets saturated fractions") {
+    val d = Seq(
+      (1L, "buy now " * 30),
+      (2L, "alpha beta gamma delta"),
+      (3L, ""),
+      (4L, "one")).toDF("doc_id", "text")
+    val m = TextOps.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val spam = m(1L)
+    assert(spam.getAs[Long]("n_tokens") === 60)
+    assert(math.abs(spam.getAs[Double]("distinct_ratio") - 2.0 / 60) < 1e-12)
+    assert(math.abs(spam.getAs[Double]("top_bigram_frac") - 30.0 / 59) < 1e-12)
+    assert(spam.getAs[Double]("dup_trigram_frac") === 1.0)
+    val clean = m(2L)
+    assert(clean.getAs[Double]("distinct_ratio") === 1.0)
+    assert(math.abs(clean.getAs[Double]("top_bigram_frac") - 1.0 / 3) < 1e-12)
+    assert(clean.getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(m(3L).getAs[Long]("n_tokens") === 0 && m(3L).getAs[Double]("distinct_ratio") === 0.0)
+    assert(m(4L).getAs[Double]("top_bigram_frac") === 0.0) // no bigrams
+  }
+
+  test("qualityFilter drops spam for repetition and keeps clean English prose") {
+    val d = Seq(
+      (1L, "buy now " * 30),
+      (2L, "the quick brown fox and the lazy dog of the town went to the market in the morning air"),
+      (3L, "un deux trois")).toDF("doc_id", "text")
+    val v = Pipeline.qualityFilter(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!v(1L).getAs[Boolean]("keep"))
+    assert(v(1L).getAs[String]("reasons").split(",").contains("repetitive"))
+    assert(v(2L).getAs[Boolean]("keep"), v(2L).getAs[String]("reasons"))
+    assert(!v(3L).getAs[Boolean]("keep"))
+    assert(v(3L).getAs[String]("reasons").split(",").contains("too_short"))
+  }
+}

@@ -27,28 +27,26 @@ object Pipeline {
   /** Deterministic train/val/test split: each doc hashes (with a salt) into
     * one of 10,000 buckets; cumulative weight boundaries assign the split.
     * Content-independent (id-keyed) so re-runs and backfills agree; salted
-    * so a new salt redraws the assignment. Pure narrow projection — no
-    * shuffle at any scale. Output: (doc_id, bucket, split). */
+    * so a new salt redraws the assignment. Pure codegen Column tree over the
+    * native [[graft.engine.expressions.Hash64]] expression — narrow, fully
+    * pruned, no shuffle at any scale. Output: (doc_id, bucket, split). */
   def splitAssign(
       docs: DataFrame, idCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
       salt: Int = 0): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
     val bounds = weights.scanLeft(0L) { case (acc, (_, w)) =>
       acc + math.round(w * 10000)
     }.tail.zip(weights.map(_._1)) // (upperBoundExclusive, name)
-    docs.select(col(idCol).cast(LongType).as("doc_id")).as[Long]
-      .mapPartitions { iter =>
-        iter.map { id =>
-          val b = bucketOf(Dedup.hash64(s"split:$id", salt), 10000)
-          val split = bounds.find(b < _._1).map(_._2).getOrElse(bounds.last._2)
-          (id, b, split)
-        }
-      }
-      .toDF("doc_id", "bucket", "split")
+    val b = expressions.Hash64Functions.hashBucketCol(
+      concat(lit("split:"), col(idCol).cast(LongType).cast(StringType)), salt, 10000)
+    val split = bounds.init.foldLeft(Option.empty[Column]) {
+      case (acc, (ub, name)) =>
+        Some(acc.fold(when(col("bucket") < ub, name))(_.when(col("bucket") < ub, name)))
+    }.fold(lit(bounds.last._2))(_.otherwise(bounds.last._2))
+    docs.select(col(idCol).cast(LongType).as("doc_id"), b.as("bucket"))
+      .withColumn("split", split)
   }
 
   /** The oracle-side CASE mirroring [[splitAssign]]'s bucket→name mapping. */
@@ -70,29 +68,15 @@ object Pipeline {
       docs: DataFrame, idCol: String, sourceCol: String,
       rates: Map[String, Double], defaultRate: Double = 1.0,
       salt: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val keep = udfFreeKeep(docs, idCol, salt)
     val rateCol = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
       when(col(sourceCol) === s, r).otherwise(acc)
     }
-    keep.where(col("_mixb") < (rateCol * 1000000.0).cast(LongType))
-      .drop("_mixb")
-  }
-
-  /** docs + `_mixb` (the doc's unsigned salted hash bucket out of 1e6),
-    * appended row-wise in one narrow typed map — keeps every original
-    * column without a join, so the sampler stays a single scan at any
-    * scale. (Spark-side Column arithmetic can't express the wraparound
-    * splitmix64 mix under ANSI overflow checks, hence the typed row map.) */
-  private def udfFreeKeep(docs: DataFrame, idCol: String, salt: Int): DataFrame = {
-    val schema = docs.schema.add("_mixb", LongType, nullable = false)
-    val idIdx = docs.schema.fieldIndex(idCol)
-    docs.map { row =>
-      val id = row.getLong(idIdx)
-      val b = bucketOf(Dedup.hash64(s"mix:$id", salt), 1000000)
-      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ b)
-    }(org.apache.spark.sql.Encoders.row(schema))
+    val mixb = expressions.Hash64Functions.hashBucketCol(
+      concat(lit("mix:"), col(idCol).cast(LongType).cast(StringType)), salt, 1000000)
+    // pure codegen'd filter predicate: the sampler adds no projection, no
+    // typed map, no join — the scan's pushed filters and column pruning
+    // survive untouched
+    docs.where(mixb < (rateCol * 1000000.0).cast(LongType))
   }
 
   /** Train-test decontamination: word n-gram overlap between the corpus and
@@ -153,15 +137,11 @@ object Pipeline {
       budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0 && buckets > 0)
     val spark = docs.sparkSession
-    import spark.implicits._
+    val packKey = concat(lit("pack:"), col(idCol).cast(LongType).cast(StringType))
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
-        TextOps.bpeTokenCount(coalesce(col(textCol), lit(""))).cast(LongType).as("toks"))
-      .as[(Long, Long)]
-      .mapPartitions(_.map { case (id, t) =>
-        val h = Dedup.hash64(s"pack:$id", 0)
-        (id, t, bucketOf(h, buckets), h)
-      })
-      .toDF("doc_id", "toks", "bucket", "h")
+      TextOps.bpeTokenCount(coalesce(col(textCol), lit(""))).cast(LongType).as("toks"),
+      expressions.Hash64Functions.hashBucketCol(packKey, 0, buckets).as("bucket"),
+      expressions.Hash64Functions.hash64Col(packKey, 0).as("h"))
     // phase 1: per-bucket totals → exclusive bucket offsets (driver-side —
     // `buckets` rows, constant size regardless of corpus scale)
     val sums = base.groupBy("bucket").agg(sum("toks").as("btoks"))

@@ -30,6 +30,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(c.collect().toSet !== a.collect().toSet)
   }
 
+  test("native Hash64 expression matches Dedup.hash64 byte-for-byte, and keeps plans codegen'd") {
+    val rnd = new scala.util.Random(7)
+    val samples = (0 until 200).map { i =>
+      val s = if (i % 4 == 0) rnd.nextString(rnd.nextInt(40)) // arbitrary unicode
+        else Seq.fill(rnd.nextInt(10))(rnd.alphanumeric.take(6).mkString).mkString(" ")
+      (s, rnd.nextInt())
+    } :+ (("", 0)) :+ (("split:42", 42))
+    samples.foreach { case (s, seed) =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      assert(expressions.Hash64Bridge.hash(u, seed) === Dedup.hash64(s, seed), s"str=$s seed=$seed")
+      assert(expressions.Hash64Bridge.bucket(u, seed, 10000) ===
+        Pipeline.bucketOf(Dedup.hash64(s, seed), 10000))
+    }
+    // the expression must keep the split projection inside whole-stage
+    // codegen — no typed map, no DeserializeToObject, full column pruning
+    val plan = Pipeline.splitAssign(docs, "doc_id").queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan.take(600))
+    // the `*(n)` prefix is executedPlan.toString's whole-stage-codegen marker
+    assert(plan.contains("*(1) Project"), plan.take(600))
+    val scanSchema = Pipeline.splitAssign(docs, "doc_id").queryExecution.executedPlan
+      .collectLeaves().head.toString
+    assert(scanSchema.contains("ReadSchema: struct<doc_id:bigint>"), scanSchema.take(400))
+  }
+
   test("mixtureSample honors per-source rates exactly at the 0/1 extremes") {
     val d = docs.select(col("doc_id"), col("source"))
     val kept = Pipeline.mixtureSample(d, "doc_id", "source",

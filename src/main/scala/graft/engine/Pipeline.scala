@@ -167,23 +167,30 @@ object Pipeline {
 
   /** Composite C4/Gopher-style quality filter: length bounds, character
     * ratios, language, and repetition thresholds fold into a keep/drop
-    * verdict with the list of failed rules. Ratio/language inputs are pure
-    * codegen Column trees ([[TextOps.qualityColumns]]); repetition comes
-    * from [[TextOps.repetitionSignals]]' typed projection, joined back on
-    * id. `reasons` is a comma-joined string (concat_ws skips the NULLs of
-    * passing rules) — no higher-order array functions, so the verdict stays
-    * codegen'd. Output: (doc_id, tokens, reasons, keep). */
+    * verdict with the list of failed rules. ONE pass: the typed projection
+    * computes the doc-local repetition signal while passing the text
+    * through, and the ratio/language rules apply as codegen Column trees on
+    * top ([[TextOps.qualityColumns]]) — no self-join back on id, which
+    * would shuffle the whole corpus twice at scale. `reasons` is a
+    * comma-joined string (concat_ws skips the NULLs of passing rules) — no
+    * higher-order array functions, so the verdict stays codegen'd.
+    * Output: (doc_id, tokens, reasons, keep). */
   def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text = coalesce(col(textCol), lit(""))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val withRep = docs.select(col(idCol).cast(LongType).as("doc_id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) => (id, t, TextOps.topBigramFrac(t)) })
+      .toDF("doc_id", "text", "top_bigram_frac")
+    val text = col("text")
     val q = TextOps.qualityColumns(text).toMap
-    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+    val base = withRep.select(col("doc_id"),
       TextOps.tokenCount(text).as("tokens"),
       q("alpha_ratio").as("alpha_ratio"), q("digit_ratio").as("digit_ratio"),
       q("mean_word_len").as("mean_word_len"),
-      TextOps.langId(text).as("lang_id"))
-    val rep = TextOps.repetitionSignals(
-      docs.select(col(idCol).as(idCol), col(textCol).as(textCol)), idCol, textCol)
-      .select(col("doc_id"), col("top_bigram_frac"))
+      TextOps.langId(text).as("lang_id"),
+      col("top_bigram_frac"))
     val rules = Seq(
       "too_short" -> (col("tokens") < 10),
       "too_long" -> (col("tokens") > 100000),
@@ -195,7 +202,7 @@ object Pipeline {
     val reasons = concat_ws(",", rules.map { case (name, cond) =>
       when(cond, name).otherwise(lit(null).cast(StringType))
     }: _*)
-    base.join(rep, Seq("doc_id"))
+    base
       .withColumn("reasons", reasons)
       .withColumn("keep", col("reasons") === "")
       .select("doc_id", "tokens", "reasons", "keep")

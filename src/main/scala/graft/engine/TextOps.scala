@@ -163,30 +163,40 @@ object TextOps {
         val n = tokens.length
         val distinctRatio =
           if (n == 0) 0.0 else tokens.distinct.length.toDouble / n
-        def gramStats(g: Int): (Double, Double) = {
-          val total = n - g + 1
-          if (total <= 0) (0.0, 0.0)
-          else {
-            val counts = new java.util.HashMap[String, Int]()
-            var i = 0
-            while (i <= n - g) {
-              val gram = tokens.slice(i, i + g).mkString(" ")
-              counts.merge(gram, 1, Integer.sum)
-              i += 1
-            }
-            var top = 0; var dup = 0
-            counts.values.forEach { c =>
-              if (c > top) top = c
-              if (c > 1) dup += c
-            }
-            (top.toDouble / total, dup.toDouble / total)
-          }
-        }
-        val (topBi, _) = gramStats(2)
-        val (_, dupTri) = gramStats(3)
+        val (topBi, _) = gramStats(tokens, 2)
+        val (_, dupTri) = gramStats(tokens, 3)
         (id, n.toLong, distinctRatio, topBi, dupTri)
       })
       .toDF("doc_id", "n_tokens", "distinct_ratio", "top_bigram_frac", "dup_trigram_frac")
+  }
+
+  /** (top-n-gram fraction, duplicate-n-gram fraction) over a token array —
+    * the doc-local counting core of [[repetitionSignals]], shared with
+    * [[Pipeline.qualityFilter]]'s single-pass variant. */
+  private[engine] def gramStats(tokens: Array[String], g: Int): (Double, Double) = {
+    val total = tokens.length - g + 1
+    if (total <= 0) (0.0, 0.0)
+    else {
+      val counts = new java.util.HashMap[String, Int]()
+      var i = 0
+      while (i <= tokens.length - g) {
+        val gram = tokens.slice(i, i + g).mkString(" ")
+        counts.merge(gram, 1, Integer.sum)
+        i += 1
+      }
+      var top = 0; var dup = 0
+      counts.values.forEach { c =>
+        if (c > top) top = c
+        if (c > 1) dup += c
+      }
+      (top.toDouble / total, dup.toDouble / total)
+    }
+  }
+
+  /** Normalized-token top-bigram fraction of one document (doc-local). */
+  private[engine] def topBigramFrac(text0: String): Double = {
+    val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+    if (text.isEmpty) 0.0 else gramStats(text.split(" "), 2)._1
   }
 
   /** Exact near-dup corpus for tests/benches: every doc whose id hits the

@@ -156,5 +156,11 @@ class PipelineSpec extends AnyFunSuite {
     assert(v(2L).getAs[Boolean]("keep"), v(2L).getAs[String]("reasons"))
     assert(!v(3L).getAs[Boolean]("keep"))
     assert(v(3L).getAs[String]("reasons").split(",").contains("too_short"))
+    // single pass: repetition + ratio rules come from one projection chain —
+    // a join back on id would put two full-corpus exchanges in the plan
+    val plan = Pipeline.qualityFilter(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(!plan.contains("Join"), plan.take(800))
   }
 }

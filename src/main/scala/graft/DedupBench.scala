@@ -26,7 +26,7 @@ object DedupBench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  private def corpusTable(spark: SparkSession, sfDir: String, replicate: Int): String = {
+  private[graft] def corpusTable(spark: SparkSession, sfDir: String, replicate: Int): String = {
     val path = s"/tmp/graft-dedupbench/${new java.io.File(sfDir).getName}-x$replicate"
     if (!new java.io.File(path, "_SUCCESS").exists()) {
       import spark.implicits._

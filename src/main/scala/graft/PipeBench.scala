@@ -1,0 +1,84 @@
+package graft
+
+import graft.engine.Pipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly throughput at replicated scale: the [[DedupBench]]
+  * corpus (documents ×N, fresh-word replicas) pushed through splitAssign,
+  * mixtureSample, packChunks and qualityFilter at several parallelism
+  * levels — the two-cluster-size scaling evidence for the Pipeline module,
+  * committed to BASELINE.md like the validation and ANN sweeps. */
+object PipeBench {
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"graft-pipebench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus * 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def time[T](f: => T): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPLICATE", "100").toInt
+    val setup = session(32)
+    val table = DedupBench.corpusTable(setup, sfDir, replicate)
+    val n = setup.read.parquet(table).count()
+    setup.stop()
+
+    def run(cpus: Int): Map[String, Double] = {
+      val s = session(cpus)
+      try {
+        // synthesize a source column (the replicated table carries id+text)
+        val docs = s.read.parquet(table)
+          .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20))))
+        def split(): Double = time {
+          Pipeline.splitAssign(docs, "doc_id", salt = 42)
+            .groupBy("split").count().collect()
+        }
+        def mix(): Double = time {
+          Pipeline.mixtureSample(docs, "doc_id", "source",
+            rates = Map("src0" -> 0.25, "src1" -> 0.0), defaultRate = 0.8)
+            .agg(count(lit(1))).collect()
+        }
+        def pack(): Double = time {
+          Pipeline.packChunks(docs, "doc_id", "text", budget = 2048, buckets = 256)
+            .agg(count(lit(1)), max("last_seq")).collect()
+        }
+        def quality(): Double = time {
+          Pipeline.qualityFilter(docs, "doc_id", "text")
+            .groupBy("keep").count().collect()
+        }
+        split(); mix(); pack(); quality() // warm-up
+        Map(
+          "split" -> (1 to 3).map(_ => split()).min,
+          "mix" -> (1 to 3).map(_ => mix()).min,
+          "pack" -> (1 to 3).map(_ => pack()).min,
+          "quality" -> (1 to 3).map(_ => quality()).min)
+      } finally s.stop()
+    }
+
+    val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
+    val ops = Seq("split", "mix", "pack", "quality")
+    val json =
+      s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
+      Seq(32, 16, 8, 4).flatMap { c =>
+        ops.map(op => s""""${op}_docs_per_sec_local$c":${f"${n / levels(c)(op)}%.0f"}""")
+      }.mkString(",") + "," +
+      ops.map(op =>
+        s""""${op}_efficiency_4_to_16":${f"${(levels(4)(op) / levels(16)(op)) / 4.0}%.3f"}""")
+        .mkString(",") + "}"
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("pipe_bench_out.json"), (json + "\n").getBytes("UTF-8"))
+    catch { case e: Exception => System.err.println(s"[pipebench] write failed: $e") }
+  }
+}

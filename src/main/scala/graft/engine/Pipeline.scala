@@ -12,10 +12,11 @@ import org.apache.spark.sql.types._
   * reproducible run-over-run, independent of partitioning, and exactly
   * mirrorable in the DuckDB oracle via [[HashSql]].
   *
-  * Scale notes (10^12 docs): every operator here is a narrow per-row
-  * projection or a broadcast join — the only shuffle in the module is
-  * [[packChunks]]' per-bucket window sort, which is bounded by the bucket
-  * count, never global.
+  * Scale notes (10^12 docs): split/sample/quality are single narrow
+  * passes; [[decontaminate]] broadcasts the benchmark side and shuffles
+  * only the matched (contaminated) gram rows into its per-doc count; the
+  * only sort in the module is [[packChunks]]' per-bucket window, bounded
+  * by the bucket count, never global.
   */
 object Pipeline {
 

@@ -112,4 +112,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(ids.contains(2L))
     } finally q.stop()
   }
+
+  test("pipeline quality filter and split assignment run unchanged on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // both ops are stateless per-row (typed projection + codegen columns),
+    // so the SAME batch operators must work under incremental execution —
+    // this is the ingestion-time filtering path of a training-data pipeline
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val filtered = graft.engine.Pipeline.qualityFilter(docs, "doc_id", "text")
+    val splits = graft.engine.Pipeline.splitAssign(docs, "doc_id", salt = 42)
+    val q1 = filtered.writeStream.format("memory").queryName("stream_quality")
+      .outputMode("append").start()
+    val q2 = splits.writeStream.format("memory").queryName("stream_splits")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "buy now " * 30),
+        (2L, "the quick brown fox and the lazy dog of the town went to the market in the morning air"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      input.addData((3L, "un deux trois"))
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val keep = spark.sql("SELECT doc_id, keep FROM stream_quality").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(keep === Map(1L -> false, 2L -> true, 3L -> false))
+      // stream assignments must agree with the batch operator exactly
+      val streamed = spark.sql("SELECT doc_id, split FROM stream_splits").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.engine.Pipeline.splitAssign(
+          Seq(1L, 2L, 3L).toDF("doc_id"), "doc_id", salt = 42)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(streamed === batch)
+    } finally { q1.stop(); q2.stop() }
+  }
 }

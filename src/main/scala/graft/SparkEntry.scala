@@ -372,6 +372,16 @@ object SparkEntry {
       TextOps.repetitionSignals(corpus, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // exact substring-dedup spans: duplicated 20-token-window coverage per
+    // doc over the mutated-twins corpus (twins share their full prefix run)
+    "q_dup_spans" -> ((s, dir) =>
+      Dedup.dupSpans(
+        TextOps.withMutatedTwins(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", "text", k = 20)
+        .orderBy("doc_id")),
+
     // composite C4/Gopher quality filter with per-rule reasons
     "q_quality_filter" -> ((s, dir) => {
       import s.implicits._
@@ -955,6 +965,29 @@ object SparkEntry {
            |  (start_off + GREATEST(toks, 1) - 1) // 512 AS last_seq,
            |  ((start_off + GREATEST(toks, 1) - 1) // 512) - (start_off // 512) + 1 AS n_seqs
            |FROM c ORDER BY doc_id""".stripMargin,
+
+      // substring-dedup mirror: positional 20-token-window hashes (struct
+      // comprehension + unnest), global dup-hash set with the same skew cap,
+      // coverage = union cardinality of [p, p+20) ranges per doc
+      "q_dup_spans" -> {
+        val gramHash = HashSql.hash64("array_to_string(ts[i:i+19], ' ')", 11)
+        s"""WITH $twinsCorpus,
+           |cl AS (SELECT id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl FROM corpus),
+           |tok AS (SELECT id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
+           |w AS (SELECT id, len(ts) AS n,
+           |    unnest([{'p': i - 1, 'h': $gramHash} for i in range(1, len(ts) - 18)]) AS u
+           |  FROM tok WHERE len(ts) >= 20),
+           |occ AS (SELECT id, n, u.p AS pos, u.h AS h FROM w),
+           |dh AS (SELECT h FROM occ GROUP BY h HAVING COUNT(*) > 1 AND COUNT(*) <= 10000),
+           |d AS (SELECT occ.* FROM occ JOIN dh USING (h)),
+           |agg AS (SELECT id, n, COUNT(*) AS nw, list(pos) AS ps FROM d GROUP BY 1, 2),
+           |cov AS (SELECT id, n, nw,
+           |    len(list_distinct(flatten([range(p, least(p + 20, n)) for p in ps]))) AS ct
+           |  FROM agg)
+           |SELECT id AS doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(nw AS INTEGER) AS n_dup_windows,
+           |  CAST(ct AS INTEGER) AS dup_tokens, CAST(ct AS DOUBLE) / n AS dup_frac
+           |FROM cov ORDER BY doc_id""".stripMargin
+      },
 
       // repetition mirror: per-doc n-gram frequency tables via unnest+group
       // (the oracle may shuffle n-grams; the engine counts doc-locally)

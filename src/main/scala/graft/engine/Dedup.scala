@@ -303,6 +303,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact substring-dedup spans, window-granular (the "remove repeated
+    * ≥k-token runs from training data" operator of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * k-token window hashes into an inverted index; windows whose hash
+    * occurs more than once in the corpus are duplicated runs, and each doc
+    * reports how much of it is covered by them. Stages: one narrow typed
+    * projection (id, n, pos, windowHash), a count-aggregate over the hash
+    * (partial-agg, no raw-window shuffle beyond the index itself), a join
+    * back, and a doc-local coverage union (BitSet over token positions) —
+    * positions per doc are bounded by doc length, never corpus size. Hot
+    * hashes above `maxBucket` (site-wide boilerplate) are dropped, the same
+    * skew discipline as [[minhashPairs]]. Output per affected doc:
+    * (doc_id, n_tokens, n_dup_windows, dup_tokens, dup_frac). */
+  def dupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, maxBucket: Int = 10000): DataFrame = {
+    require(k > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wins = docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.flatMap { case (id, text0) =>
+          val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+          val tokens = if (text.isEmpty) Array.empty[String] else text.split(" ")
+          val n = tokens.length
+          (0 to n - k).iterator.map { i =>
+            val gram = tokens.slice(i, i + k).mkString(" ")
+            (id, n, i, mix64(md5Base(md, gram) + 11 * golden))
+          }
+        }
+      }.toDF("id", "n_tokens", "pos", "h")
+    val dupHashes = wins.groupBy("h").agg(count(lit(1)).as("c"))
+      .where(col("c") > 1 && col("c") <= maxBucket)
+      .select("h")
+    wins.join(dupHashes, Seq("h"))
+      .groupBy(col("id"), col("n_tokens"))
+      .agg(count(lit(1)).cast(IntegerType).as("nw"), collect_list("pos").as("ps"))
+      .as[(Long, Int, Int, Seq[Int])]
+      .map { case (id, n, nw, ps) =>
+        val covered = new java.util.BitSet(n)
+        ps.foreach(p => covered.set(p, math.min(p + k, n)))
+        val cov = covered.cardinality()
+        (id, n, nw, cov, cov.toDouble / n)
+      }
+      .toDF("doc_id", "n_tokens", "n_dup_windows", "dup_tokens", "dup_frac")
+  }
+
   /** Winnowing near-dup pairs: each doc's winnowing fingerprints
     * ([[TextOps.winnowingFingerprints]]) explode into an inverted index
     * (fingerprint → ids); docs sharing ≥ `minShared` fingerprints are

@@ -94,6 +94,34 @@ class Round3FixSpec extends AnyFunSuite {
     assert(capped.count() === 0, "hot fingerprints above the cap must be dropped")
   }
 
+  test("dupSpans reports duplicated-window coverage exactly, with the skew cap") {
+    val a = (0 until 30).map(i => s"a$i").mkString(" ")       // 30 tokens
+    val cShared = (0 until 25).map(i => s"a$i").mkString(" ") // 25-token run of A
+    val c = ((0 until 5).map(i => s"c$i") ++ (0 until 25).map(i => s"a$i") ++
+      (5 until 10).map(i => s"c$i")).mkString(" ")            // 35 tokens
+    val d = (0 until 30).map(i => s"d$i").mkString(" ")       // unique
+    val corpus = Seq((1L, a), (2L, a), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val out = Dedup.dupSpans(corpus, "doc_id", "text", k = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // docs 1/2 are verbatim dups: every window duplicated, full coverage
+    Seq(1L, 2L).foreach { id =>
+      assert(out(id).getAs[Int]("n_dup_windows") === 11) // 30 - 20 + 1
+      assert(out(id).getAs[Int]("dup_tokens") === 30)
+      assert(out(id).getAs[Double]("dup_frac") === 1.0)
+    }
+    // doc 3 shares a 25-token run → windows at offsets 0..5 of the run
+    assert(out(3L).getAs[Int]("n_dup_windows") === 6)
+    assert(out(3L).getAs[Int]("dup_tokens") === 25)
+    assert(math.abs(out(3L).getAs[Double]("dup_frac") - 25.0 / 35) < 1e-12)
+    // doc 1's own coverage: positions 0..24 duplicated into doc 3 — but its
+    // verbatim twin already covers everything, so coverage stays 1.0 (above)
+    assert(!out.contains(4L), "unique doc must not appear")
+    // boilerplate: 500 identical docs with a low cap → hash dropped, no rows
+    assert(cShared.nonEmpty)
+    val boiler = (0 until 500).map(i => (i.toLong, a)).toDF("doc_id", "text")
+    assert(Dedup.dupSpans(boiler, "doc_id", "text", k = 20, maxBucket = 100).count() === 0)
+  }
+
   test("media features derive from decoded content (pixel/PCM/content-byte formulas)") {
     // PNG i=5: feature f samples the decoded blue channel at (f % w, (f*3) % h)
     val i = 5

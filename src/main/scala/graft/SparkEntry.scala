@@ -382,6 +382,19 @@ object SparkEntry {
         "doc_id", "text", k = 20)
         .orderBy("doc_id")),
 
+    // PII detection + redaction scrub pass (+ an injected doc carrying all
+    // three PII classes so the patterns are exercised on known answers)
+    "q_pii_scrub" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+        .unionByName(Seq((-998L,
+          "contact john.doe@example.com or a.b@c.io, call 555-123-4567, host 192.168.1.100"))
+          .toDF("doc_id", "text"))
+      val piiCols = TextOps.piiColumns(coalesce(col("text"), lit("")))
+        .map { case (n, c) => c.as(n) }
+      corpus.select((col("doc_id") +: piiCols): _*).orderBy("doc_id")
+    }),
+
     // composite C4/Gopher quality filter with per-rule reasons
     "q_quality_filter" -> ((s, dir) => {
       import s.implicits._
@@ -987,6 +1000,25 @@ object SparkEntry {
            |SELECT id AS doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(nw AS INTEGER) AS n_dup_windows,
            |  CAST(ct AS INTEGER) AS dup_tokens, CAST(ct AS DOUBLE) / n AS dup_frac
            |FROM cov ORDER BY doc_id""".stripMargin
+      },
+
+      // PII mirror: identical RE2∩Java-dialect patterns, counts via
+      // regexp_extract_all, global-flag replace chain in the same order
+      "q_pii_scrub" -> {
+        val em = TextOps.emailPattern.replace("'", "''")
+        val ph = TextOps.phonePattern
+        val ip = TextOps.ipv4Pattern
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -998,
+           |    'contact john.doe@example.com or a.b@c.io, call 555-123-4567, host 192.168.1.100'),
+           |t AS (SELECT doc_id, COALESCE(text, '') AS x FROM corpus)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(x, '$em')) AS INTEGER) AS n_emails,
+           |  CAST(len(regexp_extract_all(x, '$ph')) AS INTEGER) AS n_phones,
+           |  CAST(len(regexp_extract_all(x, '$ip')) AS INTEGER) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(x,
+           |    '$em', '<EMAIL>', 'g'), '$ph', '<PHONE>', 'g'), '$ip', '<IP>', 'g') AS redacted
+           |FROM t ORDER BY doc_id""".stripMargin
       },
 
       // repetition mirror: per-doc n-gram frequency tables via unnest+group

@@ -139,10 +139,14 @@ object Pipeline {
     require(budget > 0 && buckets > 0)
     val spark = docs.sparkSession
     val packKey = concat(lit("pack:"), col(idCol).cast(LongType).cast(StringType))
+    // persist the slim layout frame (id, toks, bucket, h — ~32 B/row): both
+    // phases read it, and without the cache phase 2 would rescan the full
+    // text corpus and re-run the tokenizer regex a second time
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       TextOps.bpeTokenCount(coalesce(col(textCol), lit(""))).cast(LongType).as("toks"),
       expressions.Hash64Functions.hashBucketCol(packKey, 0, buckets).as("bucket"),
       expressions.Hash64Functions.hash64Col(packKey, 0).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // phase 1: per-bucket totals → exclusive bucket offsets (driver-side —
     // `buckets` rows, constant size regardless of corpus scale)
     val sums = base.groupBy("bucket").agg(sum("toks").as("btoks"))
@@ -184,13 +188,33 @@ object Pipeline {
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, t) => (id, t, TextOps.topBigramFrac(t)) })
       .toDF("doc_id", "text", "top_bigram_frac")
-    val text = col("text")
-    val q = TextOps.qualityColumns(text).toMap
-    val base = withRep.select(col("doc_id"),
+    // materialize every shared subexpression as its OWN projection column,
+    // evaluated once: the naive formulation (each rule re-deriving
+    // split/lower/length from text) leans on codegen subexpression
+    // elimination, which measurably gives up on this combined projection
+    // over typed-projection input — 10× wall-clock (see QualityProbe).
+    // Multiply-referenced non-cheap aliases also stop CollapseProject from
+    // re-inlining them.
+    // re-assert non-nullability after the typed stage: the tuple encoder
+    // marks the passed-through text nullable, and nullable inputs bloat
+    // every downstream expression with null branches — measured to tip the
+    // fused whole-stage-codegen method over the JIT compile threshold
+    val text = coalesce(col("text"), lit(""))
+    val shared = withRep.select(col("doc_id"), text.as("text"), col("top_bigram_frac"),
+      length(text).cast(DoubleType).as("len"),
       TextOps.tokenCount(text).as("tokens"),
-      q("alpha_ratio").as("alpha_ratio"), q("digit_ratio").as("digit_ratio"),
-      q("mean_word_len").as("mean_word_len"),
-      TextOps.langId(text).as("lang_id"),
+      concat(lit(" "), lower(text), lit(" ")).as("padded"))
+    val len = col("len")
+    val toksD = col("tokens").cast(DoubleType)
+    def classRatio(cls: String): Column =
+      when(len === 0, 0.0)
+        .otherwise((len - length(regexp_replace(text, cls, "")).cast(DoubleType)) / len)
+    val base = shared.select(col("doc_id"), col("tokens"),
+      classRatio("[A-Za-z]").as("alpha_ratio"),
+      classRatio("[0-9]").as("digit_ratio"),
+      when(toksD === 0, 0.0)
+        .otherwise((len - (toksD - 1)) / toksD).as("mean_word_len"),
+      TextOps.langIdFromPadded(col("padded")).as("lang_id"),
       col("top_bigram_frac"))
     val rules = Seq(
       "too_short" -> (col("tokens") < 10),

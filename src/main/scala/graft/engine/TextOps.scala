@@ -58,16 +58,26 @@ object TextOps {
     markers.map(m => when(lower(text).contains(m), 1).otherwise(0))
       .reduce(_ + _)
 
-  def langId(text: Column): Column = {
-    val padded = concat(lit(" "), lower(text), lit(" "))
+  /** Language ID over an ALREADY lowercased, space-padded text column.
+    * Callers that batch several text signals into one projection should
+    * materialize the padded column once and pass it here — the 20 marker
+    * `contains` otherwise each re-lower and re-concat the text, and
+    * whole-stage codegen's subexpression elimination does NOT reliably
+    * rescue that (measured 10× on a cached typed-projection input). */
+  def langIdFromPadded(padded: Column): Column = {
     // argmax by hit count, ties broken by candidate order (en>de>fr>es)
-    val scored = langMarkers.map { case (lang, ms) => (lang, langHits(padded, ms)) }
+    val scored = langMarkers.map { case (lang, ms) =>
+      (lang, ms.map(m => when(padded.contains(m), 1).otherwise(0)).reduce(_ + _))
+    }
     val best = scored.tail.foldLeft((lit(scored.head._1), scored.head._2)) {
       case ((bl, bs), (lang, s)) =>
         (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }
     when(best._2 === 0, lit("unknown")).otherwise(best._1)
   }
+
+  def langId(text: Column): Column =
+    langIdFromPadded(concat(lit(" "), lower(text), lit(" ")))
 
   /** BPE-style pre-tokenizer pattern (GPT-2 shape, simplified): contraction
     * suffixes, space-prefixed letter runs, digit runs, symbol runs, and
@@ -82,6 +92,29 @@ object TextOps {
     * punctuation-heavy text). Pure codegen `regexp_count`. */
   def bpeTokenCount(text: Column): Column =
     regexp_count(text, lit(bpeTokenPattern))
+
+  /** PII patterns, deliberately in the RE2 ∩ java.util.regex dialect (no
+    * lookaround, no possessives) so the engine and the DuckDB oracle match
+    * byte-for-byte: conservative email, NNN-NNN-NNNN phone, dotted-quad IP. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipv4Pattern = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII detection + redaction columns for a scrub pass: per-class match
+    * counts plus the text with every match replaced by a class placeholder.
+    * Pure codegen `regexp_count`/`regexp_replace` trees — a narrow map at
+    * any scale. Emails are redacted first; the placeholders contain no
+    * digits, so later classes can't partially match inside them. */
+  def piiColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> regexp_count(text, lit(emailPattern)),
+    "n_phones" -> regexp_count(text, lit(phonePattern)),
+    "n_ips" -> regexp_count(text, lit(ipv4Pattern)),
+    "redacted" ->
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          phonePattern, "<PHONE>"),
+        ipv4Pattern, "<IP>"))
 
   /** Canonical document fingerprint: md5 of whitespace-normalized lowercase
     * text — the exact-dedup key (md5 exists in both Spark and DuckDB). */
@@ -194,7 +227,7 @@ object TextOps {
   }
 
   /** Normalized-token top-bigram fraction of one document (doc-local). */
-  private[engine] def topBigramFrac(text0: String): Double = {
+  private[graft] def topBigramFrac(text0: String): Double = {
     val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
     if (text.isEmpty) 0.0 else gramStats(text.split(" "), 2)._1
   }

@@ -121,6 +121,9 @@ class PipelineSpec extends AnyFunSuite {
     val planStr = packed.queryExecution.executedPlan.toString
     assert(!planStr.contains("Window [") || !planStr.contains("partitionBy=[]"),
       "global window found in packChunks plan")
+    // phase 2 must read the persisted layout frame, not rescan the text
+    // corpus and re-run the tokenizer regex
+    assert(planStr.contains("InMemoryTableScan"), planStr.take(600))
   }
 
   test("repetitionSignals: degenerate spam doc gets saturated fractions") {
@@ -142,6 +145,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(clean.getAs[Double]("dup_trigram_frac") === 0.0)
     assert(m(3L).getAs[Long]("n_tokens") === 0 && m(3L).getAs[Double]("distinct_ratio") === 0.0)
     assert(m(4L).getAs[Double]("top_bigram_frac") === 0.0) // no bigrams
+  }
+
+  test("piiColumns counts and redacts emails, phones and IPs") {
+    val d = Seq(
+      (1L, "contact john.doe@example.com or a.b@c.io, call 555-123-4567, host 192.168.1.100"),
+      (2L, "no pii here 1234-5678"),
+      (3L, "edge 999.999.999.999 and x@y.zz")).toDF("doc_id", "text")
+    val cols = TextOps.piiColumns(col("text")).map { case (n, c) => c.as(n) }
+    val out = d.select((col("doc_id") +: cols): _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Int]("n_emails") === 2)
+    assert(out(1L).getAs[Int]("n_phones") === 1)
+    assert(out(1L).getAs[Int]("n_ips") === 1)
+    assert(out(1L).getAs[String]("redacted") ===
+      "contact <EMAIL> or <EMAIL>, call <PHONE>, host <IP>")
+    assert(out(2L).getAs[Int]("n_emails") === 0)
+    assert(out(2L).getAs[Int]("n_phones") === 0)
+    // conservative dotted-quad by design: no octet range validation
+    assert(out(3L).getAs[Int]("n_ips") === 1)
+    assert(out(3L).getAs[Int]("n_emails") === 1)
   }
 
   test("qualityFilter drops spam for repetition and keeps clean English prose") {

@@ -382,6 +382,32 @@ object SparkEntry {
         "doc_id", "text", k = 20)
         .orderBy("doc_id")),
 
+    // corpus card: per-(source, lang) doc counts, token totals and
+    // exact-dedup distinct counts — the summary a dataset release ships with
+    "q_corpus_stats" -> ((s, dir) => {
+      val text = coalesce(col("text"), lit(""))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("lang"),
+          TextOps.tokenCount(text).cast(LongType).as("toks"),
+          TextOps.fingerprint(text).as("f"))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("total_tokens"),
+          countDistinct(col("f")).as("distinct_docs"))
+        .orderBy("source", "lang")
+    }),
+
+    // per-source token-length distribution (exact interpolated percentiles)
+    "q_token_percentiles" -> ((s, dir) => {
+      val text = coalesce(col("text"), lit(""))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), TextOps.bpeTokenCount(text).cast(DoubleType).as("t"))
+        .groupBy("source")
+        .agg(round(expr("percentile(t, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(t, 0.9D)"), 6).as("p90"),
+          round(expr("percentile(t, 0.99D)"), 6).as("p99"))
+        .orderBy("source")
+    }),
+
     // PII detection + redaction scrub pass (+ an injected doc carrying all
     // three PII classes so the patterns are exercised on known answers)
     "q_pii_scrub" -> ((s, dir) => {
@@ -1001,6 +1027,32 @@ object SparkEntry {
            |  CAST(ct AS INTEGER) AS dup_tokens, CAST(ct AS DOUBLE) / n AS dup_frac
            |FROM cov ORDER BY doc_id""".stripMargin
       },
+
+      // corpus-card mirror: same tokenization + fingerprint expressions,
+      // plain SQL aggregation
+      "q_corpus_stats" ->
+        """WITH t AS (SELECT source, lang,
+          |    CAST(CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS toks,
+          |    md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
+          |  FROM documents)
+          |SELECT source, lang, COUNT(*) AS n_docs,
+          |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+          |  COUNT(DISTINCT f) AS distinct_docs
+          |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      // percentile mirror: quantile_cont uses the same p*(n-1) linear
+      // interpolation as Spark's exact percentile
+      "q_token_percentiles" ->
+        s"""WITH t AS (SELECT source,
+           |    CAST(len(regexp_extract_all(COALESCE(text, ''),
+           |      '${TextOps.bpeTokenPattern.replace("'", "''")}')) AS DOUBLE) AS t
+           |  FROM documents)
+           |SELECT source,
+           |  ROUND(quantile_cont(t, 0.5), 6) AS p50,
+           |  ROUND(quantile_cont(t, 0.9), 6) AS p90,
+           |  ROUND(quantile_cont(t, 0.99), 6) AS p99
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // PII mirror: identical RE2∩Java-dialect patterns, counts via
       // regexp_extract_all, global-flag replace chain in the same order

@@ -382,6 +382,35 @@ object SparkEntry {
         "doc_id", "text", k = 20)
         .orderBy("doc_id")),
 
+    // incremental ingestion dedup: new batch (with re-ingested corpus dups
+    // and in-batch dups) anti-joined against the existing snapshot
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val existing = d.where(col("doc_id") % 3 === 0)
+      val newBatch = d.where(col("doc_id") % 3 =!= 0)
+        .unionByName(existing.where(col("doc_id") % 9 === 0)
+          .withColumn("doc_id", -col("doc_id") - 5000)) // re-ingested dups
+        .unionByName(d.where(col("doc_id") % 3 === 1)
+          .withColumn("doc_id", -col("doc_id") - 7000)) // in-batch dups
+      Dedup.incrementalNew(newBatch, existing, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // canonical-doc selection per exact-dup cluster (keep highest quality,
+    // ties → smallest id)
+    "q_dedup_keepbest" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      Dedup.keepBest(corpus, "doc_id", "text").orderBy("f")
+    }),
+
+    // int8 embedding quantization with reconstruction error
+    "q_embed_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .orderBy("vec_id")),
+
     // corpus card: per-(source, lang) doc counts, token totals and
     // exact-dedup distinct counts — the summary a dataset release ships with
     "q_corpus_stats" -> ((s, dir) => {
@@ -1027,6 +1056,70 @@ object SparkEntry {
            |  CAST(ct AS INTEGER) AS dup_tokens, CAST(ct AS DOUBLE) / n AS dup_frac
            |FROM cov ORDER BY doc_id""".stripMargin
       },
+
+      // incremental-dedup mirror: same fingerprint, min-id batch dedup,
+      // NOT EXISTS anti-join against the existing snapshot's fingerprints
+      "q_dedup_incremental" ->
+        """WITH d AS (SELECT doc_id, text FROM documents),
+          |existing AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 0),
+          |newbatch AS (
+          |  SELECT doc_id, text FROM d WHERE doc_id % 3 <> 0
+          |  UNION ALL SELECT -doc_id - 5000, text FROM existing WHERE doc_id % 9 = 0
+          |  UNION ALL SELECT -doc_id - 7000, text FROM d WHERE doc_id % 3 = 1),
+          |nf AS (SELECT md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f,
+          |         MIN(doc_id) AS doc_id
+          |       FROM newbatch GROUP BY 1),
+          |ef AS (SELECT DISTINCT md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
+          |       FROM existing)
+          |SELECT doc_id, f FROM nf WHERE f NOT IN (SELECT f FROM ef)
+          |ORDER BY doc_id""".stripMargin,
+
+      // keep-best mirror: the window formulation of the engine's
+      // max_by(id, (score, -id)) aggregate — identical winners
+      "q_dedup_keepbest" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+          |t AS (SELECT doc_id, COALESCE(text, '') AS x,
+          |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
+          |    md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
+          |  FROM corpus),
+          |r AS (SELECT doc_id, f,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[.,;:!?''"()\[\]-]', '', 'g'))) / n END AS punct_ratio,
+          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[ ]', '', 'g'))) / n END AS space_ratio
+          |  FROM t),
+          |sc AS (SELECT doc_id, f,
+          |    GREATEST(0.0, LEAST(1.0,
+          |      alpha_ratio * 0.6 + space_ratio * 0.8 + (1.0 - digit_ratio) * 0.2 - punct_ratio * 0.3)) AS score
+          |  FROM r),
+          |w AS (SELECT f, doc_id, score,
+          |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, doc_id ASC) AS rn,
+          |    COUNT(*) OVER (PARTITION BY f) AS n_members,
+          |    MAX(score) OVER (PARTITION BY f) AS best
+          |  FROM sc)
+          |SELECT f, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+          |  ROUND(best, 6) AS best_score
+          |FROM w WHERE rn = 1 ORDER BY f""".stripMargin,
+
+      // quantization mirror: identical scale / half-up floor rounding /
+      // sequential RMSE accumulation in DuckDB list comprehensions
+      "q_embed_quantize" ->
+        """WITH q AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+          |s AS (SELECT vec_id, v,
+          |    COALESCE(list_max([abs(x) for x in v]), 0.0) / 127.0 AS scale FROM q),
+          |c AS (SELECT vec_id, scale, v,
+          |    CASE WHEN scale = 0 THEN [CAST(0 AS INTEGER) for x in v]
+          |         ELSE [CAST(GREATEST(-127, LEAST(127, CAST(floor(x / scale + 0.5) AS INTEGER))) AS INTEGER) for x in v]
+          |    END AS codes
+          |  FROM s)
+          |SELECT vec_id, scale, codes,
+          |  CASE WHEN len(v) = 0 THEN 0.0
+          |       ELSE sqrt(list_sum([(v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)
+          |                           for i in range(1, len(v) + 1)]) / len(v)) END AS rmse
+          |FROM c ORDER BY vec_id""".stripMargin,
 
       // corpus-card mirror: same tokenization + fingerprint expressions,
       // plain SQL aggregation

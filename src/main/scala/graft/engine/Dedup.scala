@@ -303,6 +303,43 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental exact dedup for snapshot ingestion: from a NEW batch keep
+    * one doc per fingerprint (min id — in-batch dedup via partial-aggregable
+    * groupBy) and drop fingerprints already present in the existing corpus,
+    * via a left-anti join on the fingerprint. At 10^12 existing docs the
+    * anti-join shuffles one row per DISTINCT new-batch fingerprint against
+    * the existing fingerprint set — the batch is always the small side of
+    * the ingestion, never the corpus. Output: (doc_id, f) of the accepted
+    * new docs. */
+  def incrementalNew(
+      newDocs: DataFrame, existing: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame) =
+      TextOps.fingerprint(coalesce(col(textCol), lit(""))).as("f")
+    val newFp = newDocs.select(col(idCol).cast(LongType).as("doc_id"), fp(newDocs))
+      .groupBy("f").agg(min("doc_id").as("doc_id"))
+    val exFp = existing.select(fp(existing)).distinct()
+    newFp.join(exFp, Seq("f"), "left_anti").select("doc_id", "f")
+  }
+
+  /** Canonical-doc selection per exact-duplicate cluster: keep the
+    * highest-quality member (ties → smallest id). Formulated as
+    * `max_by(id, (score, -id))` under a fingerprint groupBy — a
+    * partial-aggregable map-side-combining aggregate, deliberately NOT a
+    * `row_number` window: a boilerplate fingerprint with 10^6 members would
+    * pin a window's whole partition on one task, while the aggregate
+    * reduces it map-side. Output: (f, keep_id, n_members, best_score). */
+  def keepBest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val text = coalesce(col(textCol), lit(""))
+    val score = TextOps.qualityColumns(text).toMap.apply("quality_score")
+    docs.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.fingerprint(text).as("f"), score.as("score"))
+      .groupBy("f")
+      .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        round(max("score"), 6).as("best_score"))
+  }
+
   /** Exact substring-dedup spans, window-granular (the "remove repeated
     * ≥k-token runs from training data" operator of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better"): every

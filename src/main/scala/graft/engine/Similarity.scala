@@ -29,6 +29,43 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the 4× storage
+    * reduction step of a trillion-vector index. Per vector: `scale =
+    * max(|x|)/127` (all-zero vectors → scale 0, zero codes), `code_i =
+    * floor(x_i/scale + 0.5)` clamped to ±127 (explicit half-up rounding, so
+    * the oracle mirrors the exact same arithmetic), plus the reconstruction
+    * RMSE. One narrow typed projection. Output:
+    * (vec_id, scale, codes: array<int>, rmse). */
+  def quantizeInt8(
+      embeddings: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    embeddings.select(col(idCol).cast(LongType).as("id"), col(vecCol).as("v"))
+      .as[(Long, Seq[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        var mx = 0.0
+        v.foreach { x => val a = math.abs(x.toDouble); if (a > mx) mx = a }
+        val scale = mx / 127.0
+        val codes = new Array[Int](v.length)
+        var se = 0.0
+        var i = 0
+        while (i < v.length) {
+          val x = v(i).toDouble
+          val q =
+            if (scale == 0.0) 0
+            else math.max(-127, math.min(127, math.floor(x / scale + 0.5).toInt))
+          codes(i) = q
+          val e = x - q * scale
+          se += e * e
+          i += 1
+        }
+        val rmse = if (v.isEmpty) 0.0 else math.sqrt(se / v.length)
+        (id, scale, codes.toSeq, rmse)
+      })
+      .toDF("vec_id", "scale", "codes", "rmse")
+  }
+
   /** Exact top-k: for every query row, the k nearest non-query rows by
     * cosine. Queries are broadcast (small side); ranking is deterministic
     * (rounded sim desc, neighbor id asc). */

@@ -122,6 +122,66 @@ class Round3FixSpec extends AnyFunSuite {
     assert(Dedup.dupSpans(boiler, "doc_id", "text", k = 20, maxBucket = 100).count() === 0)
   }
 
+  test("incrementalNew keeps one doc per new fingerprint and drops known ones") {
+    val existing = Seq((10L, "alpha beta"), (20L, "gamma delta")).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (100L, "ALPHA   beta"),   // normalizes to a known fingerprint → dropped
+      (200L, "epsilon zeta"),   // fresh
+      (201L, "epsilon  ZETA"),  // in-batch dup of 200 → min id kept
+      (300L, "eta theta")).toDF("doc_id", "text")
+    val accepted = Dedup.incrementalNew(newBatch, existing, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(accepted === Set(200L, 300L))
+  }
+
+  test("keepBest keeps the highest-quality cluster member, smallest id on ties") {
+    val docs = Seq(
+      (1L, "Hello world"),       // same fingerprint as 2, cleaner raw text
+      (2L, "HELLO    WORLD..."), // same normalized?? no — trailing dots differ
+      (3L, "solo doc here")).toDF("doc_id", "text")
+    // construct a REAL same-fingerprint cluster: same normalized text,
+    // different raw spacing (space_ratio differs → different scores)
+    val cluster = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "the  quick  brown  fox"),   // doubled spaces: lower alpha ratio
+      (12L, "the quick brown fox"))      // verbatim tie with 10 → min id
+      .toDF("doc_id", "text")
+    val out = Dedup.keepBest(cluster, "doc_id", "text").collect()
+    assert(out.length === 1)
+    val r = out(0)
+    // 10 and 12 tie on score (identical text); 11 scores lower (extra
+    // spaces dilute alpha ratio but raise space ratio — verify by compute)
+    val scores = cluster.select(col("doc_id"),
+        TextOps.qualityColumns(col("text")).toMap.apply("quality_score").as("s"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    val expectedWinner =
+      if (scores(11L) > scores(10L)) 11L else 10L // ties within {10,12} → 10
+    assert(r.getAs[Long]("keep_id") === expectedWinner)
+    assert(r.getAs[Long]("n_members") === 3L)
+    assert(docs.count() === 3) // silence unused warning path
+  }
+
+  test("quantizeInt8 uses half-up rounding, clamps, and reports exact RMSE") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, -0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f)),
+      (3L, Seq(-2.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(math.abs(r1.getAs[Double]("scale") - 1.0 / 127) < 1e-15)
+    // -0.5/scale = -63.5 → floor(-63.5 + 0.5) = -63 (half-up, not half-away)
+    assert(r1.getAs[Seq[Int]]("codes") === Seq(127, -63, 0))
+    val scale = 1.0 / 127
+    val expectedRmse = math.sqrt((math.pow(1.0 - 127 * scale, 2) +
+      math.pow(-0.5 - (-63) * scale, 2) + 0.0) / 3)
+    assert(math.abs(r1.getAs[Double]("rmse") - expectedRmse) < 1e-12)
+    assert(out(2L).getAs[Double]("scale") === 0.0)
+    assert(out(2L).getAs[Seq[Int]]("codes") === Seq(0, 0))
+    assert(out(2L).getAs[Double]("rmse") === 0.0)
+    assert(out(3L).getAs[Seq[Int]]("codes") === Seq(-127, 64)) // 1/(2/127)=63.5 → 64
+  }
+
   test("media features derive from decoded content (pixel/PCM/content-byte formulas)") {
     // PNG i=5: feature f samples the decoded blue channel at (f % w, (f*3) % h)
     val i = 5

@@ -77,12 +77,67 @@ object GraftFunctions {
       FunctionIdentifier("graft_exact_multiple_of"), info, builder)
 }
 
-/** `--conf spark.sql.extensions=graft.engine.expressions.GraftExtensions`
-  * injects the function at session build (the spark-submit path). */
+/** The full SQL surface of the native expressions, for both injection
+  * paths: `--conf spark.sql.extensions=graft.engine.expressions
+  * .GraftExtensions` at session build (the spark-submit path), or
+  * [[GraftExtensions.register]] on a live session. Seeds / mods / format
+  * names are plan-time constants, so they must be literals. */
+object GraftExtensions {
+  private def litInt(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+  private def litStr(e: Expression, what: String): String = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(
+        s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+    case _ => throw new IllegalArgumentException(s"$what must be a string literal")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_exact_multiple_of"),
+      new ExpressionInfo(classOf[ExactMultipleOf].getName, "graft_exact_multiple_of"),
+      {
+        case Seq(x, m) => ExactMultipleOf(x, m)
+        case other => throw new IllegalArgumentException(
+          s"graft_exact_multiple_of expects 2 arguments, got ${other.length}")
+      }),
+    // graft_hash64(str[, seed]) — the engine's md5+splitmix string hash
+    (FunctionIdentifier("graft_hash64"),
+      new ExpressionInfo(classOf[Hash64].getName, "graft_hash64"),
+      {
+        case Seq(s) => Hash64(s, 0)
+        case Seq(s, seed) => Hash64(s, litInt(seed, "seed"))
+        case other => throw new IllegalArgumentException(
+          s"graft_hash64 expects 1-2 arguments, got ${other.length}")
+      }),
+    // graft_bucket(str, seed, mod) — remainderUnsigned(hash64, mod)
+    (FunctionIdentifier("graft_bucket"),
+      new ExpressionInfo(classOf[Hash64].getName, "graft_bucket"),
+      {
+        case Seq(s, seed, mod) =>
+          Hash64(s, litInt(seed, "seed"), litInt(mod, "mod").toLong)
+        case other => throw new IllegalArgumentException(
+          s"graft_bucket expects 3 arguments, got ${other.length}")
+      }),
+    // graft_format_check(str, 'format') — draft-7 format dispatch
+    (FunctionIdentifier("graft_format_check"),
+      new ExpressionInfo(classOf[FormatCheck].getName, "graft_format_check"),
+      {
+        case Seq(s, fmt) => FormatCheck(s, litStr(fmt, "format"))
+        case other => throw new IllegalArgumentException(
+          s"graft_format_check expects 2 arguments, got ${other.length}")
+      }))
+
+  /** Register every graft SQL function in an existing session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_exact_multiple_of"),
-      new ExpressionInfo(classOf[ExactMultipleOf].getName, "graft_exact_multiple_of"),
-      (args: Seq[Expression]) => ExactMultipleOf(args(0), args(1))))
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }

@@ -34,6 +34,17 @@ object Pipeline {
   def splitAssign(
       docs: DataFrame, idCol: String,
       weights: Seq[(String, Double)] = Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
+      salt: Int = 0): DataFrame =
+    withSplit(docs.select(col(idCol).cast(LongType).as("doc_id")), "doc_id",
+      weights, salt)
+
+  /** Adds `(bucket, split)` columns to any frame carrying `idCol` — the
+    * projection core of [[splitAssign]], reusable mid-pipeline without a
+    * re-join (the bucket hash is materialized once; the split CASE chain
+    * reads the attribute, never re-hashing per branch). */
+  def withSplit(
+      docs: DataFrame, idCol: String,
+      weights: Seq[(String, Double)] = Seq("train" -> 0.96, "val" -> 0.02, "test" -> 0.02),
       salt: Int = 0): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       "split weights must sum to 1")
@@ -46,8 +57,7 @@ object Pipeline {
       case (acc, (ub, name)) =>
         Some(acc.fold(when(col("bucket") < ub, name))(_.when(col("bucket") < ub, name)))
     }.fold(lit(bounds.last._2))(_.otherwise(bounds.last._2))
-    docs.select(col(idCol).cast(LongType).as("doc_id"), b.as("bucket"))
-      .withColumn("split", split)
+    docs.withColumn("bucket", b).withColumn("split", split)
   }
 
   /** The oracle-side CASE mirroring [[splitAssign]]'s bucket→name mapping. */
@@ -231,5 +241,35 @@ object Pipeline {
       .withColumn("reasons", reasons)
       .withColumn("keep", col("reasons") === "")
       .select("doc_id", "tokens", "reasons", "keep")
+  }
+
+  /** The artifacts of one [[curate]] run, all lazy. */
+  final case class Curation(
+      curated: DataFrame, // (doc_id, text, bucket, split) — kept + canonical
+      packed: DataFrame, // train-split packing layout
+      quality: DataFrame, // per-doc quality verdicts (audit)
+      clusters: DataFrame) // keepBest canonicalization table (audit)
+
+  /** The end-to-end corpus-curation chain of a training-data run: quality
+    * filter → exact-dedup canonicalization (keep the best member per
+    * cluster) → deterministic split assignment → concat-and-chunk packing
+    * of the train split. On top of the member ops this adds exactly two
+    * id-semi-joins (the quality keep-set and the canonical keep-set) —
+    * split assignment is a projection ([[withSplit]]), not a join. */
+  def curate(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Long = 2048, buckets: Int = 32, salt: Int = 0): Curation = {
+    val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
+      coalesce(col(textCol), lit("")).as("text"))
+    val quality = qualityFilter(base, "doc_id", "text")
+    val kept = base.join(
+      quality.where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val clusters = Dedup.keepBest(kept, "doc_id", "text")
+    val canon = kept.join(
+      clusters.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
+    val curated = withSplit(canon, "doc_id", salt = salt)
+    val packed = packChunks(
+      curated.where(col("split") === "train"), "doc_id", "text", budget, buckets)
+    Curation(curated, packed, quality, clusters)
   }
 }

@@ -147,6 +147,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(m(4L).getAs[Double]("top_bigram_frac") === 0.0) // no bigrams
   }
 
+  test("curate chains filter → canonical dedup → split → packing coherently") {
+    // corpus: real docs + a spam doc (must be quality-dropped) + a verbatim
+    // dup of an existing doc (must collapse to one canonical member)
+    val real = docs.select("doc_id", "text")
+    val dupSrc = real.orderBy("doc_id").limit(1)
+    val corpus = real
+      .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
+      .unionByName(dupSrc.withColumn("doc_id", col("doc_id") + 1000000))
+    val run = Pipeline.curate(corpus, "doc_id", "text", budget = 128, buckets = 8)
+    val curatedIds = run.curated.select("doc_id").as[Long].collect().toSet
+    assert(!curatedIds.contains(-999L), "spam must be quality-dropped")
+    // at most one member of the dup pair survives
+    val dupId = dupSrc.select("doc_id").as[Long].collect()(0)
+    assert(!(curatedIds.contains(dupId) && curatedIds.contains(dupId + 1000000)),
+      "verbatim dup pair must collapse")
+    // split assignment is exhaustive over the curated set
+    val splits = run.curated.groupBy("split").count().collect()
+      .map(r => r.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    assert(run.curated.count() ===
+      run.curated.where(col("split").isin("train", "val", "test")).count())
+    // packing covers exactly the train docs, tiling the token stream
+    val trainIds = run.curated.where(col("split") === "train")
+      .select("doc_id").as[Long].collect().toSet
+    val packedRows = run.packed.collect()
+    assert(packedRows.map(_.getAs[Long]("doc_id")).toSet === trainIds)
+    val totalToks = packedRows.map(_.getAs[Long]("toks")).sum
+    assert(packedRows.map(r => r.getAs[Long]("start_off") + r.getAs[Long]("toks")).max
+      === totalToks)
+  }
+
   test("piiColumns counts and redacts emails, phones and IPs") {
     val d = Seq(
       (1L, "contact john.doe@example.com or a.b@c.io, call 555-123-4567, host 192.168.1.100"),

@@ -382,6 +382,31 @@ object SparkEntry {
         "doc_id", "text", k = 20)
         .orderBy("doc_id")),
 
+    // end-to-end curation chain (quality filter → canonical dedup → split),
+    // over a corpus with an injected spam doc and verbatim dup copies
+    "q_curate_assign" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = d
+        .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
+        .unionByName(d.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      Pipeline.curate(corpus, "doc_id", "text", budget = 512, buckets = 32)
+        .curated.select("doc_id", "bucket", "split").orderBy("doc_id")
+    }),
+
+    // the same run's train-split packing layout
+    "q_curate_packed" -> ((s, dir) => {
+      import s.implicits._
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = d
+        .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
+        .unionByName(d.where(col("doc_id") % 40 === 0)
+          .withColumn("doc_id", -col("doc_id") - 1000000))
+      Pipeline.curate(corpus, "doc_id", "text", budget = 512, buckets = 32)
+        .packed.orderBy("doc_id")
+    }),
+
     // incremental ingestion dedup: new batch (with re-ingested corpus dups
     // and in-batch dups) anti-joined against the existing snapshot
     "q_dedup_incremental" -> ((s, dir) => {
@@ -501,6 +526,75 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT -doc_id - 1, text || ' extra trailing words appended'
         |  FROM documents WHERE doc_id % 50 = 0)""".stripMargin
+    // quality-filter rule chain over a CTE named `corpus(doc_id, text)`;
+    // ends in rules(doc_id, tok, reasons) — shared by q_quality_filter and
+    // the end-to-end curation mirror
+    val qualityRulesCtes =
+      """t AS (SELECT doc_id, COALESCE(text, '') AS x,
+        |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
+        |    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
+        |  FROM corpus),
+        |r AS (SELECT doc_id, tok,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
+        |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
+        |    CASE WHEN tok = 0 THEN 0.0 ELSE (n - (tok - 1)) / tok END AS mean_word_len,
+        |    ' ' || lower(x) || ' ' AS p
+        |  FROM t),
+        |lh AS (SELECT doc_id,
+        |    (CASE WHEN strpos(p, ' the ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' and ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' of ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' to ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' in ') > 0 THEN 1 ELSE 0 END) AS s_en,
+        |    (CASE WHEN strpos(p, ' der ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' und ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' die ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' das ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' nicht ') > 0 THEN 1 ELSE 0 END) AS s_de,
+        |    (CASE WHEN strpos(p, ' le ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' la ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' et ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' les ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' des ') > 0 THEN 1 ELSE 0 END) AS s_fr,
+        |    (CASE WHEN strpos(p, ' el ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' que ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' los ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' una ') > 0 THEN 1 ELSE 0 END +
+        |     CASE WHEN strpos(p, ' por ') > 0 THEN 1 ELSE 0 END) AS s_es
+        |  FROM r),
+        |lang AS (SELECT doc_id,
+        |    CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+        |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+        |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+        |         WHEN s_fr >= s_es THEN 'fr'
+        |         ELSE 'es' END AS lid
+        |  FROM lh),
+        |cl AS (SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS cl FROM corpus),
+        |tokl AS (SELECT doc_id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
+        |bi AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
+        |  FROM tokl WHERE len(ts) >= 2),
+        |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
+        |btop AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM bic GROUP BY 1),
+        |rules AS (SELECT r.doc_id, tok,
+        |    concat_ws(',',
+        |      CASE WHEN tok < 10 THEN 'too_short' END,
+        |      CASE WHEN tok > 100000 THEN 'too_long' END,
+        |      CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
+        |      CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
+        |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
+        |      CASE WHEN lid <> 'en' THEN 'non_english' END,
+        |      CASE WHEN COALESCE(top_bigram_frac, 0.0) > 0.2 THEN 'repetitive' END) AS reasons
+        |  FROM r JOIN lang USING (doc_id) LEFT JOIN btop ON btop.doc_id = r.doc_id)""".stripMargin
+    // fingerprint + quality-score chain over a CTE `src(doc_id, text)`;
+    // ends in qsc(doc_id, f, score) — shared by keep-best and curation
+    def scoreCtes(src: String) =
+      s"""qt AS (SELECT doc_id, COALESCE(text, '') AS qx,
+         |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS qn,
+         |    md5(lower(regexp_replace(trim(COALESCE(text, '')), '\\s+', ' ', 'g'))) AS f
+         |  FROM $src),
+         |qr AS (SELECT doc_id, f,
+         |    CASE WHEN qn = 0 THEN 0.0 ELSE (qn - len(regexp_replace(qx, '[A-Za-z]', '', 'g'))) / qn END AS a_r,
+         |    CASE WHEN qn = 0 THEN 0.0 ELSE (qn - len(regexp_replace(qx, '[0-9]', '', 'g'))) / qn END AS d_r,
+         |    CASE WHEN qn = 0 THEN 0.0 ELSE (qn - len(regexp_replace(qx, '[.,;:!?''"()\\[\\]-]', '', 'g'))) / qn END AS p_r,
+         |    CASE WHEN qn = 0 THEN 0.0 ELSE (qn - len(regexp_replace(qx, '[ ]', '', 'g'))) / qn END AS s_r
+         |  FROM qt),
+         |qsc AS (SELECT doc_id, f,
+         |    GREATEST(0.0, LEAST(1.0,
+         |      a_r * 0.6 + s_r * 0.8 + (1.0 - d_r) * 0.2 - p_r * 0.3)) AS score
+         |  FROM qr)""".stripMargin
     Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
@@ -1057,6 +1151,65 @@ object SparkEntry {
            |FROM cov ORDER BY doc_id""".stripMargin
       },
 
+      // end-to-end curation mirror: the quality rule chain, then the
+      // keep-best canonicalization over the kept set, then the split CASE —
+      // every stage reuses the fragment already proven by its own query
+      "q_curate_assign" -> {
+        val splitBucket = HashSql.bucket("'split:' || CAST(doc_id AS VARCHAR)", 0, 10000)
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -999, repeat('buy now ', 30)
+           |  UNION ALL SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+           |$qualityRulesCtes,
+           |kept AS (SELECT c.doc_id, c.text FROM corpus c
+           |         JOIN rules ru ON ru.doc_id = c.doc_id WHERE ru.reasons = ''),
+           |${scoreCtes("kept")},
+           |w AS (SELECT f, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, doc_id ASC) AS rn
+           |  FROM qsc),
+           |canon AS (SELECT doc_id FROM w WHERE rn = 1),
+           |b AS (SELECT doc_id, $splitBucket AS bucket FROM canon)
+           |SELECT doc_id, bucket, ${Pipeline.splitCaseSql("bucket")} AS split
+           |FROM b ORDER BY doc_id""".stripMargin
+      },
+
+      // curation packing mirror: the global-window form of packChunks over
+      // the curated train split
+      "q_curate_packed" -> {
+        val splitBucket = HashSql.bucket("'split:' || CAST(doc_id AS VARCHAR)", 0, 10000)
+        val packH = HashSql.hash64("'pack:' || CAST(doc_id AS VARCHAR)", 0)
+        val packB = HashSql.bucket("'pack:' || CAST(doc_id AS VARCHAR)", 0, 32)
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -999, repeat('buy now ', 30)
+           |  UNION ALL SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+           |$qualityRulesCtes,
+           |kept AS (SELECT c.doc_id, c.text FROM corpus c
+           |         JOIN rules ru ON ru.doc_id = c.doc_id WHERE ru.reasons = ''),
+           |${scoreCtes("kept")},
+           |w AS (SELECT f, doc_id,
+           |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, doc_id ASC) AS rn
+           |  FROM qsc),
+           |canon AS (SELECT k.doc_id, k.text FROM kept k
+           |          JOIN w ON w.doc_id = k.doc_id AND w.rn = 1),
+           |train AS (SELECT doc_id, text FROM canon
+           |          WHERE ${Pipeline.splitCaseSql(s"($splitBucket)")} = 'train'),
+           |tk AS (SELECT doc_id,
+           |    CAST(len(regexp_extract_all(COALESCE(text, ''),
+           |      '${TextOps.bpeTokenPattern.replace("'", "''")}')) AS BIGINT) AS toks
+           |  FROM train),
+           |h AS (SELECT doc_id, toks, $packH AS hv, $packB AS bucket FROM tk),
+           |c AS (SELECT doc_id, toks,
+           |    CAST(COALESCE(SUM(toks) OVER (ORDER BY bucket, hv, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+           |  FROM h)
+           |SELECT doc_id, toks, start_off,
+           |  start_off // 512 AS first_seq,
+           |  (start_off + GREATEST(toks, 1) - 1) // 512 AS last_seq,
+           |  ((start_off + GREATEST(toks, 1) - 1) // 512) - (start_off // 512) + 1 AS n_seqs
+           |FROM c ORDER BY doc_id""".stripMargin
+      },
+
       // incremental-dedup mirror: same fingerprint, min-id batch dedup,
       // NOT EXISTS anti-join against the existing snapshot's fingerprints
       "q_dedup_incremental" ->
@@ -1077,32 +1230,19 @@ object SparkEntry {
       // keep-best mirror: the window formulation of the engine's
       // max_by(id, (score, -id)) aggregate — identical winners
       "q_dedup_keepbest" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
-          |t AS (SELECT doc_id, COALESCE(text, '') AS x,
-          |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
-          |    md5(lower(regexp_replace(trim(COALESCE(text, '')), '\s+', ' ', 'g'))) AS f
-          |  FROM corpus),
-          |r AS (SELECT doc_id, f,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[.,;:!?''"()\[\]-]', '', 'g'))) / n END AS punct_ratio,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[ ]', '', 'g'))) / n END AS space_ratio
-          |  FROM t),
-          |sc AS (SELECT doc_id, f,
-          |    GREATEST(0.0, LEAST(1.0,
-          |      alpha_ratio * 0.6 + space_ratio * 0.8 + (1.0 - digit_ratio) * 0.2 - punct_ratio * 0.3)) AS score
-          |  FROM r),
-          |w AS (SELECT f, doc_id, score,
-          |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, doc_id ASC) AS rn,
-          |    COUNT(*) OVER (PARTITION BY f) AS n_members,
-          |    MAX(score) OVER (PARTITION BY f) AS best
-          |  FROM sc)
-          |SELECT f, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
-          |  ROUND(best, 6) AS best_score
-          |FROM w WHERE rn = 1 ORDER BY f""".stripMargin,
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT -doc_id - 1000000, text FROM documents WHERE doc_id % 40 = 0),
+           |${scoreCtes("corpus")},
+           |w AS (SELECT f, doc_id, score,
+           |    ROW_NUMBER() OVER (PARTITION BY f ORDER BY score DESC, doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY f) AS n_members,
+           |    MAX(score) OVER (PARTITION BY f) AS best
+           |  FROM qsc)
+           |SELECT f, doc_id AS keep_id, CAST(n_members AS BIGINT) AS n_members,
+           |  ROUND(best, 6) AS best_score
+           |FROM w WHERE rn = 1 ORDER BY f""".stripMargin,
 
       // quantization mirror: identical scale / half-up floor rounding /
       // sequential RMSE accumulation in DuckDB list comprehensions
@@ -1194,58 +1334,11 @@ object SparkEntry {
       // as in the q_text_quality / q_lang_id / q_text_repetition mirrors,
       // folded through the same rule thresholds and concat_ws reasons
       "q_quality_filter" ->
-        """WITH corpus AS (SELECT doc_id, text FROM documents
-          |  UNION ALL SELECT -999, repeat('buy now ', 30)),
-          |t AS (SELECT doc_id, COALESCE(text, '') AS x,
-          |    CAST(len(COALESCE(text, '')) AS DOUBLE) AS n,
-          |    CASE WHEN text IS NULL OR len(trim(text)) = 0 THEN 0
-          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS tok
-          |  FROM corpus),
-          |r AS (SELECT doc_id, tok,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[A-Za-z]', '', 'g'))) / n END AS alpha_ratio,
-          |    CASE WHEN n = 0 THEN 0.0 ELSE (n - len(regexp_replace(x, '[0-9]', '', 'g'))) / n END AS digit_ratio,
-          |    CASE WHEN tok = 0 THEN 0.0 ELSE (n - (tok - 1)) / tok END AS mean_word_len,
-          |    ' ' || lower(x) || ' ' AS p
-          |  FROM t),
-          |lh AS (SELECT doc_id,
-          |    (CASE WHEN strpos(p, ' the ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' and ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' of ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' to ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' in ') > 0 THEN 1 ELSE 0 END) AS s_en,
-          |    (CASE WHEN strpos(p, ' der ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' und ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' die ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' das ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' nicht ') > 0 THEN 1 ELSE 0 END) AS s_de,
-          |    (CASE WHEN strpos(p, ' le ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' la ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' et ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' les ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' des ') > 0 THEN 1 ELSE 0 END) AS s_fr,
-          |    (CASE WHEN strpos(p, ' el ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' que ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' los ') > 0 THEN 1 ELSE 0 END + CASE WHEN strpos(p, ' una ') > 0 THEN 1 ELSE 0 END +
-          |     CASE WHEN strpos(p, ' por ') > 0 THEN 1 ELSE 0 END) AS s_es
-          |  FROM r),
-          |lang AS (SELECT doc_id,
-          |    CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
-          |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-          |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
-          |         WHEN s_fr >= s_es THEN 'fr'
-          |         ELSE 'es' END AS lid
-          |  FROM lh),
-          |cl AS (SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS cl FROM corpus),
-          |tokl AS (SELECT doc_id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
-          |bi AS (SELECT doc_id, unnest([array_to_string(ts[i:i+1], ' ') for i in range(1, len(ts))]) AS g
-          |  FROM tokl WHERE len(ts) >= 2),
-          |bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY 1, 2),
-          |btop AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_frac FROM bic GROUP BY 1),
-          |rules AS (SELECT r.doc_id, tok,
-          |    concat_ws(',',
-          |      CASE WHEN tok < 10 THEN 'too_short' END,
-          |      CASE WHEN tok > 100000 THEN 'too_long' END,
-          |      CASE WHEN alpha_ratio < 0.5 THEN 'low_alpha' END,
-          |      CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END,
-          |      CASE WHEN mean_word_len < 2.0 OR mean_word_len > 12.0 THEN 'word_len' END,
-          |      CASE WHEN lid <> 'en' THEN 'non_english' END,
-          |      CASE WHEN COALESCE(top_bigram_frac, 0.0) > 0.2 THEN 'repetitive' END) AS reasons
-          |  FROM r JOIN lang USING (doc_id) LEFT JOIN btop ON btop.doc_id = r.doc_id)
-          |SELECT doc_id, CAST(tok AS INTEGER) AS tokens, reasons, (reasons = '') AS keep
-          |FROM rules ORDER BY doc_id""".stripMargin
+        s"""WITH corpus AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -999, repeat('buy now ', 30)),
+           |$qualityRulesCtes
+           |SELECT doc_id, CAST(tok AS INTEGER) AS tokens, reasons, (reasons = '') AS keep
+           |FROM rules ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -190,7 +190,16 @@ object Pipeline {
     * comma-joined string (concat_ws skips the NULLs of passing rules) — no
     * higher-order array functions, so the verdict stays codegen'd.
     * Output: (doc_id, tokens, reasons, keep). */
-  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    qualityVerdictsWithText(docs, idCol, textCol)
+      .select("doc_id", "tokens", "reasons", "keep")
+
+  /** [[qualityFilter]] with the text column passed through — lets a
+    * downstream consumer ([[curate]]) filter on `keep` INLINE instead of
+    * semi-joining the verdict frame back onto the corpus by id, which
+    * would shuffle the full corpus at scale. */
+  def qualityVerdictsWithText(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val withRep = docs.select(col(idCol).cast(LongType).as("doc_id"),
@@ -219,7 +228,7 @@ object Pipeline {
     def classRatio(cls: String): Column =
       when(len === 0, 0.0)
         .otherwise((len - length(regexp_replace(text, cls, "")).cast(DoubleType)) / len)
-    val base = shared.select(col("doc_id"), col("tokens"),
+    val base = shared.select(col("doc_id"), col("text"), col("tokens"),
       classRatio("[A-Za-z]").as("alpha_ratio"),
       classRatio("[0-9]").as("digit_ratio"),
       when(toksD === 0, 0.0)
@@ -240,7 +249,7 @@ object Pipeline {
     base
       .withColumn("reasons", reasons)
       .withColumn("keep", col("reasons") === "")
-      .select("doc_id", "tokens", "reasons", "keep")
+      .select("doc_id", "text", "tokens", "reasons", "keep")
   }
 
   /** The artifacts of one [[curate]] run, all lazy. */
@@ -261,9 +270,10 @@ object Pipeline {
       budget: Long = 2048, buckets: Int = 32, salt: Int = 0): Curation = {
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
-    val quality = qualityFilter(base, "doc_id", "text")
-    val kept = base.join(
-      quality.where(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val verdicts = qualityVerdictsWithText(base, "doc_id", "text")
+    val quality = verdicts.select("doc_id", "tokens", "reasons", "keep")
+    // inline filter — no verdict-to-corpus semi-join, the text rode along
+    val kept = verdicts.where(col("keep")).select("doc_id", "text")
     val clusters = Dedup.keepBest(kept, "doc_id", "text")
     val canon = kept.join(
       clusters.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")

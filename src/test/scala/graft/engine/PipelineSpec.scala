@@ -178,6 +178,24 @@ class PipelineSpec extends AnyFunSuite {
       === totalToks)
   }
 
+  test("pipeline ops survive empty, null-text and all-dropped corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Pipeline.packChunks(empty, "doc_id", "text", budget = 128).count() === 0)
+    assert(Pipeline.splitAssign(empty, "doc_id").count() === 0)
+    assert(Pipeline.qualityFilter(empty, "doc_id", "text").count() === 0)
+    val nulls = Seq((1L, null: String), (2L, "")).toDF("doc_id", "text")
+    val nv = Pipeline.qualityFilter(nulls, "doc_id", "text").collect()
+    assert(nv.forall(!_.getAs[Boolean]("keep"))) // blank docs fail too_short
+    val np = Pipeline.packChunks(nulls, "doc_id", "text", budget = 128).collect()
+    assert(np.forall(_.getAs[Long]("toks") === 0L))
+    assert(np.forall(_.getAs[Long]("n_seqs") === 1L)) // zero-length still maps
+    // a corpus where quality drops everything → curate yields empty frames
+    val allSpam = Seq((1L, "spam spam " * 20), (2L, "x")).toDF("doc_id", "text")
+    val run = Pipeline.curate(allSpam, "doc_id", "text", budget = 128)
+    assert(run.curated.count() === 0 && run.packed.count() === 0)
+    assert(run.quality.count() === 2)
+  }
+
   test("piiColumns counts and redacts emails, phones and IPs") {
     val d = Seq(
       (1L, "contact john.doe@example.com or a.b@c.io, call 555-123-4567, host 192.168.1.100"),

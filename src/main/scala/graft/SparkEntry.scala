@@ -207,6 +207,16 @@ object SparkEntry {
           "doc_id", "text"),
         "doc_id", "text", threshold = 0.5)),
 
+    // end-to-end NEAR-dup clustering: LSH candidates → Jaccard-verified
+    // pairs → min-label connected components, the full fuzzy-dedup chain
+    "q_neardup_clusters" -> ((s, dir) => {
+      val corpus = TextOps.withMutatedTwins(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text")
+      Dedup.components(
+        Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5))
+    }),
+
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(
         TextOps.withMutatedTwins(
@@ -816,6 +826,39 @@ object SparkEntry {
       // HashSql renders the exact wraparound arithmetic), band keys, bucket
       // skew cap, candidate self-join, exact-Jaccard verify — the entire
       // near-dup pipeline recomputed independently by DuckDB
+      // near-dup clustering mirror: the SAME LSH chain as q_minhash_pairs,
+      // then an undirected transitive closure (recursive CTE) + min label —
+      // an independent SQL recomputation of the engine's iterative
+      // label-propagation components
+      "q_neardup_clusters" -> {
+        val shingleHash = HashSql.hash64SeedVar("t", "j")
+        val bandSigs = s"[${HashSql.toUnsigned("g[b * 4 + r + 1]")} for r in range(0, 4)]"
+        s"""WITH RECURSIVE $twinsCorpus,
+           |words AS (SELECT id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS w FROM corpus),
+           |sh AS (SELECT id,
+           |  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS s
+           |  FROM words),
+           |sig AS (SELECT id, [list_min([$shingleHash for t in s]) for j in range(0, 16)] AS g FROM sh),
+           |bnd AS (SELECT id, b, ${HashSql.bandKey("b", bandSigs)} AS bucket
+           |        FROM sig, range(0, 4) r(b)),
+           |ok AS (SELECT b, bucket FROM bnd GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+           |pr AS (SELECT bnd.* FROM bnd JOIN ok USING (b, bucket)),
+           |cand AS (SELECT DISTINCT a.id AS id_a, c.id AS id_b
+           |         FROM pr a JOIN pr c ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
+           |ver AS (SELECT id_a, id_b,
+           |  ROUND(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           |        len(list_distinct(list_concat(sa.s, sb.s))), 6) AS jaccard
+           |  FROM cand JOIN sh sa ON sa.id = id_a JOIN sh sb ON sb.id = id_b),
+           |e AS (SELECT id_a AS a, id_b AS b FROM ver WHERE jaccard >= 0.5),
+           |ud AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+           |reach AS (SELECT a, b FROM ud
+           |          UNION
+           |          SELECT r.a, u.b FROM reach r JOIN ud u ON u.a = r.b)
+           |SELECT a AS id, LEAST(a, MIN(b)) AS component
+           |FROM reach GROUP BY a ORDER BY id""".stripMargin
+      },
+
       "q_minhash_pairs" -> {
         val shingleHash = HashSql.hash64SeedVar("t", "j")
         val bandSigs = s"[${HashSql.toUnsigned("g[b * 4 + r + 1]")} for r in range(0, 4)]"

@@ -93,6 +93,28 @@ object StreamingChecks {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Continuous-ingestion dedup: drop stream docs whose content fingerprint
+    * already exists in a static corpus snapshot (stream-static LEFT-ANTI
+    * join — supported with the static side on the right, and at scale the
+    * static fingerprint set is the snapshot's dedup index), then bound
+    * in-stream duplicates with `dropDuplicatesWithinWatermark` on the same
+    * fingerprint (state bounded by the watermark horizon, mandatory on an
+    * unbounded stream). The streaming face of
+    * [[graft.engine.Dedup.incrementalNew]]. */
+  def streamingIngestDedup(
+      stream: DataFrame, existing: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "2 minutes"): DataFrame = {
+    val fp = graft.engine.TextOps.fingerprint(coalesce(col(textCol), lit("")))
+    val known = existing.select(
+      graft.engine.TextOps.fingerprint(coalesce(col(textCol), lit(""))).as("f"))
+      .distinct()
+    stream
+      .withColumn("f", fp)
+      .join(known, Seq("f"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("f")
+  }
+
   final case class PartitionCounts(partition: Int, passCount: Long, failCount: Long)
 
   /** Running per-partition pass/fail counts over a validated stream —

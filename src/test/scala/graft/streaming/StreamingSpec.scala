@@ -113,6 +113,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup drops snapshot-known and in-stream duplicate content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val existing = Seq((10L, "alpha beta gamma")).toDF("doc_id", "text")
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = StreamingChecks.streamingIngestDedup(
+      input.toDF().toDF("ts", "doc_id", "text"), existing, "text", "ts", "2 minutes")
+    val q = deduped.writeStream.format("memory").queryName("ingest_dedup")
+      .outputMode("append").start()
+    try {
+      def t(s: String) = Timestamp.valueOf(s)
+      input.addData(
+        (t("2026-01-01 00:00:10"), 1L, "ALPHA   beta gamma"), // known fingerprint
+        (t("2026-01-01 00:00:20"), 2L, "delta epsilon"),      // fresh
+        (t("2026-01-01 00:00:30"), 3L, "delta  EPSILON"),     // in-stream dup of 2
+        (t("2026-01-01 00:00:40"), 4L, "zeta eta"))           // fresh
+      q.processAllAvailable()
+      input.addData((t("2026-01-01 01:00:00"), 5L, "theta iota")) // flush watermark
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM ingest_dedup").collect()
+        .map(_.getLong(0)).toSet
+      assert(!ids.contains(1L), "snapshot-known content must be dropped")
+      assert(ids.intersect(Set(2L, 3L)).size === 1, "in-stream dup must collapse")
+      assert(ids.contains(4L) && ids.contains(5L))
+    } finally q.stop()
+  }
+
   test("pipeline quality filter and split assignment run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -314,12 +314,24 @@ object Dedup {
   def incrementalNew(
       newDocs: DataFrame, existing: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame) =
-      TextOps.fingerprint(coalesce(col(textCol), lit(""))).as("f")
-    val newFp = newDocs.select(col(idCol).cast(LongType).as("doc_id"), fp(newDocs))
+    val fp = TextOps.fingerprint(coalesce(col(textCol), lit(""))).as("f")
+    incrementalNewVsFingerprints(newDocs, existing.select(fp).distinct(),
+      idCol, textCol)
+  }
+
+  /** [[incrementalNew]] against a PRE-COMPUTED fingerprint index
+    * (`fingerprints(f)`) — the steady-state ingestion shape: at 10^12
+    * existing docs the corpus fingerprint set is a materialized table the
+    * pipeline maintains incrementally (append each batch's accepted `f`s),
+    * not something recomputed from raw text per batch. */
+  def incrementalNewVsFingerprints(
+      newDocs: DataFrame, fingerprints: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val newFp = newDocs.select(col(idCol).cast(LongType).as("doc_id"),
+        TextOps.fingerprint(coalesce(col(textCol), lit(""))).as("f"))
       .groupBy("f").agg(min("doc_id").as("doc_id"))
-    val exFp = existing.select(fp(existing)).distinct()
-    newFp.join(exFp, Seq("f"), "left_anti").select("doc_id", "f")
+    newFp.join(fingerprints.select("f"), Seq("f"), "left_anti")
+      .select("doc_id", "f")
   }
 
   /** Canonical-doc selection per exact-duplicate cluster: keep the

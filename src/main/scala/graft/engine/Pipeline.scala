@@ -101,13 +101,17 @@ object Pipeline {
     * Output per contaminated doc: (doc_id, n_grams, hits, contaminated). */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minHits: Int = 1): DataFrame = {
+      n: Int = 8, minHits: Int = 1, broadcastBenchmark: Boolean = true): DataFrame = {
     val grams = gramFrame(corpus, idCol, textCol, n)
     val benchGrams = gramFrame(benchmark, idCol, textCol, n)
       .select(explode(col("grams")).as("g")).distinct()
+    // eval suites are ~10^5 docs → broadcast by default; a caller checking
+    // against a benchmark too big for executor memory opts into the
+    // shuffle-hash join instead of OOMing the broadcast
+    val benchSide = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
     grams.select(col("id").as("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("g"))
-      .join(broadcast(benchGrams), Seq("g"))
+      .join(benchSide, Seq("g"))
       .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("hits"))
       .where(col("hits") >= minHits)
       .withColumn("contaminated", lit(true))

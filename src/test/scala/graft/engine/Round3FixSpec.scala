@@ -132,6 +132,12 @@ class Round3FixSpec extends AnyFunSuite {
     val accepted = Dedup.incrementalNew(newBatch, existing, "doc_id", "text")
       .select("doc_id").as[Long].collect().toSet
     assert(accepted === Set(200L, 300L))
+    // steady-state shape: same result against a pre-materialized index
+    val fpIndex = existing.select(
+      TextOps.fingerprint(coalesce(col("text"), lit(""))).as("f")).distinct()
+    val viaIndex = Dedup.incrementalNewVsFingerprints(newBatch, fpIndex, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex === accepted)
   }
 
   test("keepBest keeps the highest-quality cluster member, smallest id on ties") {

@@ -126,6 +126,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(planStr.contains("InMemoryTableScan"), planStr.take(600))
   }
 
+  test("repetitionSignals matches a brute-force reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    val corpora = (0 until 60).map { i =>
+      val vocab = (0 until (1 + rnd.nextInt(6))).map(v => s"w$v")
+      val n = rnd.nextInt(25)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextOps.repetitionSignals(corpora.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    corpora.foreach { case (id, text) =>
+      val toks = if (text.isEmpty) Array.empty[String] else text.split(" ")
+      def frac(g: Int): (Double, Double) = {
+        val grams = toks.sliding(g).filter(_.length == g).map(_.mkString(" ")).toSeq
+        if (grams.isEmpty) (0.0, 0.0)
+        else {
+          val counts = grams.groupBy(identity).map(_._2.size)
+          (counts.max.toDouble / grams.size,
+            counts.filter(_ > 1).sum.toDouble / grams.size)
+        }
+      }
+      val (n, dr, tb, dt) = got(id)
+      assert(n === toks.length.toLong, s"doc $id")
+      assert(dr === (if (toks.isEmpty) 0.0 else toks.distinct.length.toDouble / toks.length))
+      assert(tb === frac(2)._1, s"doc $id top bigram")
+      assert(dt === frac(3)._2, s"doc $id dup trigram")
+    }
+  }
+
   test("repetitionSignals: degenerate spam doc gets saturated fractions") {
     val d = Seq(
       (1L, "buy now " * 30),

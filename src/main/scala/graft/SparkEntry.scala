@@ -446,6 +446,14 @@ object SparkEntry {
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
         .orderBy("vec_id")),
 
+    // sliding-window chunking (32-token windows, 8-token overlap — small
+    // enough that the ~54-word docs produce multi-chunk output)
+    "q_text_chunks" -> ((s, dir) =>
+      TextOps.chunkDocs(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text", size = 32, overlap = 8)
+        .orderBy("doc_id", "chunk")),
+
     // corpus card: per-(source, lang) doc counts, token totals and
     // exact-dedup distinct counts — the summary a dataset release ships with
     "q_corpus_stats" -> ((s, dir) => {
@@ -1303,6 +1311,21 @@ object SparkEntry {
           |       ELSE sqrt(list_sum([(v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)
           |                           for i in range(1, len(v) + 1)]) / len(v)) END AS rmse
           |FROM c ORDER BY vec_id""".stripMargin,
+
+      // chunking mirror: struct-comprehension windows over the normalized
+      // token list, step 24 = size 32 − overlap 8, inclusive-end slices
+      "q_text_chunks" ->
+        """WITH cl AS (SELECT doc_id, trim(regexp_replace(lower(COALESCE(text, '')), '\s+', ' ', 'g')) AS cl FROM documents),
+          |tok AS (SELECT doc_id, string_split(cl, ' ') AS ts FROM cl WHERE cl <> ''),
+          |ch AS (SELECT doc_id,
+          |    unnest([{'k': k, 's': k * 24,
+          |             'nt': LEAST(32, len(ts) - k * 24),
+          |             'txt': array_to_string(ts[k * 24 + 1 : k * 24 + 32], ' ')}
+          |            for k in range(0, (len(ts) - 1) // 24 + 1)]) AS u
+          |  FROM tok)
+          |SELECT doc_id, CAST(u.k AS INTEGER) AS chunk, CAST(u.s AS INTEGER) AS start_tok,
+          |  CAST(u.nt AS INTEGER) AS n_toks, u.txt AS chunk_text
+          |FROM ch ORDER BY doc_id, chunk""".stripMargin,
 
       // corpus-card mirror: same tokenization + fingerprint expressions,
       // plain SQL aggregation

@@ -232,6 +232,38 @@ object TextOps {
     if (text.isEmpty) 0.0 else gramStats(text.split(" "), 2)._1
   }
 
+  /** Sliding-window document chunking — the training/RAG prep step that
+    * splits long docs into `size`-token windows overlapping by `overlap`
+    * tokens. Windows start every `size - overlap` tokens over the
+    * whitespace-normalized token stream; the final window may be shorter;
+    * empty docs emit no chunks. One narrow typed flatMap — each chunk row
+    * carries its token offset so downstream spans are reconstructible.
+    * Output: (doc_id, chunk, start_tok, n_toks, chunk_text). */
+  def chunkDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 128, overlap: Int = 16): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      "need 0 <= overlap < size")
+    val step = size - overlap
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text0) =>
+        val text = text0.toLowerCase.replaceAll("\\s+", " ").trim
+        val tokens = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        val n = tokens.length
+        if (n == 0) Iterator.empty
+        else (0 to (n - 1) / step).iterator.map { k =>
+          val start = k * step
+          val slice = tokens.slice(start, start + size)
+          (id, k, start, slice.length, slice.mkString(" "))
+        }
+      })
+      .toDF("doc_id", "chunk", "start_tok", "n_toks", "chunk_text")
+  }
+
   /** Exact near-dup corpus for tests/benches: every doc whose id hits the
     * dup rate gets a mutated twin, so near-dup detection has known answers. */
   def withMutatedTwins(docs: DataFrame, idCol: String, textCol: String, rate: Int = 50): DataFrame = {

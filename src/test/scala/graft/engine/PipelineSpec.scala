@@ -207,6 +207,25 @@ class PipelineSpec extends AnyFunSuite {
       === totalToks)
   }
 
+  test("chunkDocs tiles the token stream with exact overlap and offsets") {
+    val d = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 toks, size 4, ov 1
+      (2L, "one two three"),                             // single short chunk
+      (3L, "")).toDF("doc_id", "text")
+    val rows = TextOps.chunkDocs(d, "doc_id", "text", size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // step 3: starts 0,3,6,9 — last chunk is the single trailing token
+    assert(c1.map(_._3).toSeq === Seq(0, 3, 6, 9))
+    assert(c1.map(_._4).toSeq === Seq(4, 4, 4, 1))
+    assert(c1(0)._5 === "t0 t1 t2 t3" && c1(3)._5 === "t9")
+    // consecutive chunks overlap by exactly `overlap` tokens
+    assert(c1(0)._5.split(" ").last === c1(1)._5.split(" ").head)
+    assert(rows.filter(_._1 == 2L).toSeq === Seq((2L, 0, 0, 3, "one two three")))
+    assert(!rows.exists(_._1 == 3L), "empty doc emits no chunks")
+  }
+
   test("pipeline ops survive empty, null-text and all-dropped corpora") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Pipeline.packChunks(empty, "doc_id", "text", budget = 128).count() === 0)

@@ -57,17 +57,27 @@ object PipeBench {
           Pipeline.qualityFilter(docs, "doc_id", "text")
             .groupBy("keep").count().collect()
         }
-        split(); mix(); pack(); quality() // warm-up
+        def chunk(): Double = time {
+          graft.engine.TextOps.chunkDocs(docs, "doc_id", "text", size = 64, overlap = 8)
+            .agg(count(lit(1)), sum("n_toks")).collect()
+        }
+        def repetition(): Double = time {
+          graft.engine.TextOps.repetitionSignals(docs, "doc_id", "text")
+            .agg(avg("top_bigram_frac"), avg("dup_trigram_frac")).collect()
+        }
+        split(); mix(); pack(); quality(); chunk(); repetition() // warm-up
         Map(
           "split" -> (1 to 3).map(_ => split()).min,
           "mix" -> (1 to 3).map(_ => mix()).min,
           "pack" -> (1 to 3).map(_ => pack()).min,
-          "quality" -> (1 to 3).map(_ => quality()).min)
+          "quality" -> (1 to 3).map(_ => quality()).min,
+          "chunk" -> (1 to 3).map(_ => chunk()).min,
+          "repetition" -> (1 to 3).map(_ => repetition()).min)
       } finally s.stop()
     }
 
     val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
-    val ops = Seq("split", "mix", "pack", "quality")
+    val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition")
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
       Seq(32, 16, 8, 4).flatMap { c =>

@@ -454,6 +454,23 @@ object SparkEntry {
         "doc_id", "text", size = 32, overlap = 8)
         .orderBy("doc_id", "chunk")),
 
+    // passage-level dedup: repeated chunk fingerprints across the corpus
+    // (the chunk-granular view of substring dedup — twins share their
+    // aligned leading chunks verbatim)
+    "q_chunk_dups" -> ((s, dir) => {
+      val corpus = TextOps.withMutatedTwins(
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+        "doc_id", "text")
+      TextOps.chunkDocs(corpus, "doc_id", "text", size = 32, overlap = 8)
+        .select(TextOps.fingerprint(col("chunk_text")).as("chunk_fp"),
+          col("doc_id"))
+        .groupBy("chunk_fp")
+        .agg(count(lit(1)).as("n_chunks"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .where(col("n_chunks") > 1)
+        .orderBy("chunk_fp")
+    }),
+
     // corpus card: per-(source, lang) doc counts, token totals and
     // exact-dedup distinct counts — the summary a dataset release ships with
     "q_corpus_stats" -> ((s, dir) => {
@@ -1326,6 +1343,20 @@ object SparkEntry {
           |SELECT doc_id, CAST(u.k AS INTEGER) AS chunk, CAST(u.s AS INTEGER) AS start_tok,
           |  CAST(u.nt AS INTEGER) AS n_toks, u.txt AS chunk_text
           |FROM ch ORDER BY doc_id, chunk""".stripMargin,
+
+      // chunk-dup mirror: the chunk windows over the twins corpus, md5 of
+      // each chunk text, repeated-fingerprint groups
+      "q_chunk_dups" ->
+        s"""WITH $twinsCorpus,
+           |cl AS (SELECT id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl FROM corpus),
+           |tok AS (SELECT id, string_split(cl, ' ') AS ts FROM cl WHERE cl <> ''),
+           |ch AS (SELECT id,
+           |    unnest([array_to_string(ts[k * 24 + 1 : k * 24 + 32], ' ')
+           |            for k in range(0, (len(ts) - 1) // 24 + 1)]) AS txt
+           |  FROM tok)
+           |SELECT md5(txt) AS chunk_fp, COUNT(*) AS n_chunks,
+           |  COUNT(DISTINCT id) AS n_docs
+           |FROM ch GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1""".stripMargin,
 
       // corpus-card mirror: same tokenization + fingerprint expressions,
       // plain SQL aggregation

@@ -89,18 +89,43 @@ object SparkEntry {
     }),
 
     // sketch-based drift (typed Aggregator + mergeable quantile sketch):
-    // reference vs current population of events.value. Rows-only check
-    // (sketch internals are engine-specific).
+    // reference vs current population of events.value. The sketch's merge
+    // order is nondeterministic, so raw quantile estimates can't be
+    // hash-oracled; instead each row is a deterministic BOUND CHECK: the
+    // sketch's quantile estimate must land inside the exact value interval
+    // [exact(q−ε), exact(q+ε)] with ε = 0.05 rank slack (≈10× the t-digest
+    // theoretical bound 2·q(1−q)/compression at the median — generous
+    // enough to be merge-order-stable, tight enough that a broken sketch
+    // fails). The interval endpoints are exact percentiles computed in
+    // Spark and independently re-derived by DuckDB quantile_cont (same
+    // p·(n−1) interpolation), so the hash match verifies both the exact
+    // percentile parity AND the sketch's rank-error contract.
     "q_drift_sketch" -> ((s, dir) => {
       val events = s.read.parquet(s"$dir/events.parquet")
-      val ref = TypedAggregators.sketchColumn(events.where(col("event_id") % 2 === 0), "value")
-      val cur = TypedAggregators.sketchColumn(events.where(col("event_id") % 2 === 1), "value")
+      // (measure, sketch probe q, exact lo probe q−ε, exact hi probe q+ε) —
+      // probe quantiles are decimal literals (not q±ε arithmetic) so the
+      // Spark and DuckDB probe doubles parse bit-identically
+      val qs = Seq(("p10", 0.1, "0.05", "0.15"), ("p50", 0.5, "0.45", "0.55"),
+        ("p90", 0.9, "0.85", "0.95"))
+      def r6(x: Double) = new java.math.BigDecimal(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       import s.implicits._
-      (Seq("p10", "p50", "p90").zip(Seq(0.1, 0.5, 0.9)).map { case (n, q) =>
-        (n, math.rint(ref.quantile(q) * 100) / 100, math.rint(cur.quantile(q) * 100) / 100)
-      } :+ (("ks", math.rint(QuantileSketch.ks(ref, cur) * 1e4) / 1e4,
-             math.rint(QuantileSketch.psi(ref, cur) * 1e4) / 1e4))
-      ).toDF("measure", "ref_or_ks", "cur_or_psi").orderBy("measure")
+      Seq("cur" -> (col("event_id") % 2 === 1),
+          "ref" -> (col("event_id") % 2 === 0)).flatMap { case (name, pred) =>
+        val pop = events.where(pred)
+        val sk = TypedAggregators.sketchColumn(pop, "value")
+        val probeSql = qs.flatMap(t => Seq(t._3, t._4))
+          .map(p => s"${p}D").mkString("array(", ", ", ")")
+        val exact = pop.select(
+          expr(s"percentile(CAST(value AS DOUBLE), $probeSql)").as("p"))
+          .collect()(0).getAs[scala.collection.Seq[Double]]("p")
+        qs.zipWithIndex.map { case ((m, q, _, _), i) =>
+          val lo = exact(2 * i); val hi = exact(2 * i + 1)
+          val v = sk.quantile(q)
+          (name, m, r6(lo), r6(hi), v >= lo && v <= hi)
+        }
+      }.toDF("population", "measure", "lo", "hi", "within_bound")
+        .orderBy("population", "measure")
     }),
 
     // tumbling-window event aggregates (the batch shape of the streaming
@@ -307,13 +332,16 @@ object SparkEntry {
     // deterministic frame sampling over the video items (pure Column logic
     // over the decoded frame count — the "sample every Nth frame" stage of
     // a multimodal pipeline)
+    // (sampled indexes emitted as a CSV string — scalar columns only, the
+    // driver's pandas canonicalization cannot sort array columns)
     "q_media_frames" -> ((s, dir) =>
       MediaOps.extractFeatures(MediaOps.syntheticMedia(s)).toDF()
         .where(col("mime") === "video/mp4")
         .select(col("media_ref"), col("frames"),
           MediaOps.sampleFrameIndexes(col("frames"), 5).as("sampled"))
         .select(col("media_ref"), col("frames"),
-          size(col("sampled")).as("n_sampled"), col("sampled"))
+          size(col("sampled")).as("n_sampled"),
+          array_join(col("sampled").cast("array<string>"), ",").as("sampled_csv"))
         .orderBy("media_ref")),
 
     // winnowing inverted-index near-dup pairs (the plagiarism-detection
@@ -441,9 +469,15 @@ object SparkEntry {
       Dedup.keepBest(corpus, "doc_id", "text").orderBy("f")
     }),
 
-    // int8 embedding quantization with reconstruction error
+    // int8 embedding quantization with reconstruction error. The codes
+    // array is emitted as an md5 digest of its CSV form (scalar columns
+    // only — the driver's pandas canonicalization cannot sort array
+    // columns); the digest still pins every code value exactly.
     "q_embed_quantize" -> ((s, dir) =>
       Similarity.quantizeInt8(s.read.parquet(s"$dir/embeddings.parquet"))
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          md5(concat_ws(",", col("codes").cast("array<string>"))).as("codes_fp"),
+          round(col("rmse"), 6).as("rmse"))
         .orderBy("vec_id")),
 
     // sliding-window chunking (32-token windows, 8-token overlap — small
@@ -946,7 +980,7 @@ object SparkEntry {
           |  FROM range(0, 200) t(i))
           |SELECT media_ref, CAST(1 + i % 30 AS INTEGER) AS frames,
           |  CAST(len([x for x in range(0, 1 + i % 30) if x % 5 = 0]) AS INTEGER) AS n_sampled,
-          |  [CAST(x AS INTEGER) for x in range(0, 1 + i % 30) if x % 5 = 0] AS sampled
+          |  array_to_string([CAST(x AS INTEGER) for x in range(0, 1 + i % 30) if x % 5 = 0], ',') AS sampled_csv
           |FROM cat WHERE bytes % 3 = 2 ORDER BY media_ref""".stripMargin,
 
       // winnowing inverted-index mirror: same fingerprint CTEs, then the
@@ -1012,6 +1046,25 @@ object SparkEntry {
           |UNION ALL
           |SELECT 'psi', ROUND((SELECT v FROM psi), 6)
           |ORDER BY measure""".stripMargin,
+
+      // sketch bound-check mirror: DuckDB independently recomputes the
+      // exact [q−ε, q+ε] percentile interval (quantile_cont ≡ Spark
+      // percentile, p·(n−1) interpolation) and asserts the sketch estimate
+      // fell inside it (within_bound TRUE) — the hash match gates both the
+      // interval endpoints and the sketch's rank-error contract
+      "q_drift_sketch" ->
+        """WITH v AS (
+          |  SELECT CASE WHEN event_id % 2 = 0 THEN 'ref' ELSE 'cur' END AS population,
+          |    CAST(value AS DOUBLE) AS value
+          |  FROM events),
+          |qv AS (SELECT population,
+          |    quantile_cont(value, [0.05, 0.15, 0.45, 0.55, 0.85, 0.95]) AS p
+          |  FROM v GROUP BY population)
+          |SELECT population, m.measure,
+          |  ROUND(p[m.i], 6) AS lo, ROUND(p[m.i + 1], 6) AS hi,
+          |  TRUE AS within_bound
+          |FROM qv, (VALUES ('p10', 1), ('p50', 3), ('p90', 5)) m(measure, i)
+          |ORDER BY population, measure""".stripMargin,
 
       "q_ann_topk" ->
         s"""WITH s AS (SELECT $srpSigns4 AS m),
@@ -1323,10 +1376,11 @@ object SparkEntry {
           |         ELSE [CAST(GREATEST(-127, LEAST(127, CAST(floor(x / scale + 0.5) AS INTEGER))) AS INTEGER) for x in v]
           |    END AS codes
           |  FROM s)
-          |SELECT vec_id, scale, codes,
-          |  CASE WHEN len(v) = 0 THEN 0.0
+          |SELECT vec_id, ROUND(scale, 6) AS scale,
+          |  md5(array_to_string(codes, ',')) AS codes_fp,
+          |  ROUND(CASE WHEN len(v) = 0 THEN 0.0
           |       ELSE sqrt(list_sum([(v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)
-          |                           for i in range(1, len(v) + 1)]) / len(v)) END AS rmse
+          |                           for i in range(1, len(v) + 1)]) / len(v)) END, 6) AS rmse
           |FROM c ORDER BY vec_id""".stripMargin,
 
       // chunking mirror: struct-comprehension windows over the normalized

@@ -11,23 +11,24 @@ iteration loop only — the engine itself has no Python anywhere.
 import json, math, os, sys
 import duckdb
 
+def cell(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        v = round(v, 6)
+        if v == 0.0:
+            v = 0.0  # normalize -0.0
+        return str(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(cell(x) for x in v) + "]"
+    return str(v)
+
 def canon(rows, cols):
     ordered = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in ordered:
-            v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "NaN"
-                else:
-                    v = round(v, 6)
-                    if v == 0.0:
-                        v = 0.0  # normalize -0.0
-            vals.append(str(v))
-        out.append("|".join(vals))
-    return sorted(out)
+    return sorted("|".join(cell(r[i]) for i in ordered) for r in rows)
+
+def has_lists(rows):
+    return any(isinstance(v, (list, tuple)) for r in rows[:5] for v in r)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -66,6 +67,12 @@ def main():
         status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
         print(f"{name}: {status} rows={len(s_rows)}/{len(o_rows)} "
               f"schema={schema_ok} values={vals_ok}")
+        if has_lists(s_rows):
+            # the DRIVER's pandas harness cannot sort array columns and
+            # records `err` for the whole query — flag it here even though
+            # this precheck compares lists fine
+            print(f"  WARN: {name} emits array-typed column(s); the driver "
+                  f"harness will err — emit a digest/CSV/exploded rows instead")
         if status == "FAIL":
             failures += 1
             if not schema_ok:

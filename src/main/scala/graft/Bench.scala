@@ -93,6 +93,9 @@ object Bench {
           throw e
         }
       }
+      // drop operator-internal caches between queries — the bench is the
+      // long-lived-session shape where un-released caches would accumulate
+      graft.engine.Caches.releaseAll()
       name -> secs
     }
     val (docsN, _) = validationRun(spark0, table)

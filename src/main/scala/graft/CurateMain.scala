@@ -57,7 +57,11 @@ object CurateMain {
     val bySplit = cur.groupBy("split").count().collect()
       .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
     val p = spark.read.parquet(s"$out/packed")
-    val seqs = p.agg(max("last_seq")).collect()(0).getLong(0) + 1
+    // max over zero rows is NULL — a corpus where filtering/splitting leaves
+    // no train docs must report 0 sequences, not NPE after all writes
+    val seqs = Option(p.agg(max("last_seq")).collect()(0).get(0))
+      .map(_.asInstanceOf[Long] + 1).getOrElse(0L)
+    graft.engine.Caches.releaseAll()
     println(
       s"""{"docs":$total,"quality_kept":$keptQ,"curated":${cur.count()},""" +
       s""""splits":{$bySplit},"train_sequences":$seqs,"budget":$budget,"out":"$out"}""")

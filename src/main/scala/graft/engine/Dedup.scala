@@ -127,7 +127,7 @@ object Dedup {
     // self-join sides, and the two verify joins — persist it (at warehouse
     // scale this is the standard materialized signature table).
     val base = signatureFrame(docs, idCol, textCol, k, h, bands)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // Shuffle discipline: the band self-join moves only (band, bucket, id) —
     // shingle arrays are re-attached AFTER candidate-pair dedup, so the wide
     // payload crosses the wire once per *surviving* candidate, not once per
@@ -149,7 +149,7 @@ object Dedup {
     // alias-renamed sides defeat Catalyst's ReuseExchange otherwise)
     val pruned = exploded.join(smallBuckets, Seq("band", "bucket"))
       .repartition(col("band"), col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -184,55 +184,24 @@ object Dedup {
       size(array_union(shA, shB)).cast(DoubleType)
 
   /** 64-bit SimHash over whitespace tokens (hamming distance via
-    * `bit_count(a ^ b)`). Uses the full 64-bit token hash: a narrower
-    * signature shrinks the pigeonhole block keyspace (32-bit blocks at
-    * maxHamming=3 are 8 bits = 256 buckets/block), which collapses recall
-    * under the skew cap at ≥10⁸ docs — exactly the scale SimHash exists for. */
-  def simhash64(text: Column): Column = {
-    val tokens = split(trim(text), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // one per-bit counter fold; bit index is a Scala constant so the shift
-    // amount stays static (shiftright takes Int; arithmetic fill is masked
-    // off by the & 1)
-    val bits = (0 until 64).map { j =>
-      val counter = aggregate(hashes, lit(0L), (acc, hv) =>
-        acc + when(shiftright(hv, j).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      when(counter > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
+    * `bit_count(a ^ b)`), as a native codegen expression — per-token
+    * `hash64(token, 0)`, 64 up/down counters, sign → bit. Uses the full
+    * 64-bit token hash: a narrower signature shrinks the pigeonhole block
+    * keyspace (32-bit blocks at maxHamming=3 are 8 bits = 256 buckets/
+    * block), which collapses recall under the skew cap at ≥10⁸ docs —
+    * exactly the scale SimHash exists for. (An earlier Column formulation
+    * built 64 `aggregate` higher-order calls per row — CodegenFallback,
+    * ~100× interpreted; the native expression IS the production path now.) */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.engine.expressions.SimHash64(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
 
-  /** Typed-projection SimHash (same rationale as [[minhashPairs]]'s
-    * signature stage: plain loops beat interpreted lambdas ~100×). */
-  private[engine] def simhashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  /** Signature frame — a pure Column projection over the native SimHash64
+    * expression: whole-stage codegen, full column pruning, no typed stage. */
+  private[engine] def simhashFrame(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).cast(LongType).as("id"),
-        coalesce(col(textCol), lit("")).as("text"))
-      .as[(Long, String)]
-      .mapPartitions { iter =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        iter.map { case (id, text) =>
-          val tokens = text.trim.split("\\s+")
-          val counters = new Array[Int](64)
-          var ti = 0
-          while (ti < tokens.length) {
-            val hv = mix64(md5Base(md, tokens(ti))) // hash64(token, 0)
-            var j = 0
-            while (j < 64) {
-              if (((hv >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
-              j += 1
-            }
-            ti += 1
-          }
-          var sig = 0L
-          var j = 0
-          while (j < 64) { if (counters(j) > 0) sig |= (1L << j); j += 1 }
-          (id, sig)
-        }
-      }
-      .toDF("id", "sig")
-  }
+      simhash64(coalesce(col(textCol), lit(""))).as("sig"))
 
   /** Pigeonhole block boundaries: `maxHamming + 1` contiguous blocks
     * covering all 64 signature bits (remainder bits widen the last block).
@@ -282,7 +251,7 @@ object Dedup {
     val blockKeysCol = simhashBlockKeys(maxHamming)
     val exploded = simhashFrame(docs, idCol, textCol)
       .select(col("id"), col("sig"), posexplode(blockKeysCol).as(Seq("block", "key")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val smallBuckets = exploded.groupBy("block", "key")
       .agg(count(lit(1)).as("_bsize"))
       .where(col("_bsize") <= maxBucket)
@@ -291,7 +260,7 @@ object Dedup {
     // the pruned frame so the self-join adds no second payload exchange
     val pruned = exploded.join(smallBuckets, Seq("block", "key"))
       .repartition(col("block"), col("key"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     pruned.select(col("block"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
       .join(pruned.select(col("block"), col("key"), col("id").as("id_b"), col("sig").as("sig_b")),
         Seq("block", "key"))
@@ -420,7 +389,7 @@ object Dedup {
       .where(col("_n") <= maxBucket).select("f")
     val pruned = inv.join(small, Seq("f"))
       .repartition(col("f"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // per-doc fingerprints are distinct, so the per-pair match count IS the
     // intersection size — no post-hoc verify needed
     pruned.select(col("f"), col("id").as("id_a"))
@@ -507,7 +476,9 @@ object Dedup {
     * contracts the remaining smaller neighbors onto it). Same output
     * contract as [[components]]: (id, component-min) for every node
     * appearing in `pairs`. */
-  def componentsStar(pairs: DataFrame, maxIters: Int = 60): DataFrame = {
+  def componentsStar(
+      pairs: DataFrame, maxIters: Int = 60,
+      verifyConvergenceExactly: Boolean = false): DataFrame = {
     val wU = org.apache.spark.sql.expressions.Window.partitionBy("u")
     // canonical edge form: u > v, no self-loops, distinct
     def canon(e: DataFrame): DataFrame =
@@ -529,20 +500,39 @@ object Dedup {
     val nodes = pairs.select(col("id_a").cast(LongType).as("id"))
       .union(pairs.select(col("id_b").cast(LongType).as("id")))
       .distinct().localCheckpoint(true)
+    // fixed-point signature: (edge count, order-independent xor of per-edge
+    // 64-bit hashes) in ONE partial aggregation — where the previous exact
+    // test ran two full `except` anti-joins (two extra shuffles) per round,
+    // which at 10⁹ edges × O(log n) rounds dominates the contraction itself.
+    // Sets are distinct post-canon, so xor cancellation needs a 2⁻⁶⁴ hash
+    // collision; `verifyConvergenceExactly` keeps the exact anti-join test
+    // alongside for specs/debug and asserts the two agree every round.
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
     var edges = canon(pairs.select(col("id_a").cast(LongType).as("u"),
         col("id_b").cast(LongType).as("v")))
       .localCheckpoint(true)
+    var edgesSig = sig(edges)
     var iter = 0
-    var converged = edges.isEmpty
+    var converged = edgesSig._1 == 0L
     while (!converged) {
       if (iter >= maxIters)
         throw new IllegalStateException(
           s"star contraction did not converge in $maxIters rounds")
       val next = smallStar(largeStar(edges)).localCheckpoint(true)
-      // exact fixed-point test (two anti-joins); at extreme scale swap for
-      // a (count, checksum) comparison — the loop body stays identical
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      val nextSig = sig(next)
+      converged = nextSig == edgesSig
+      if (verifyConvergenceExactly) {
+        val exact = next.except(edges).isEmpty && edges.except(next).isEmpty
+        require(exact == converged,
+          s"(count, checksum) convergence disagrees with exact set equality " +
+            s"at round $iter: checksum=$converged exact=$exact")
+      }
       edges = next
+      edgesSig = nextSig
       iter += 1
     }
     // converged edge set is the star (member → component-min); nodes absent

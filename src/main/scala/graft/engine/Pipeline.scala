@@ -147,25 +147,47 @@ object Pipeline {
     * what a naive `Window.orderBy` (global, single-partition) would do at
     * 10^12 docs. Output: (doc_id, toks, start_off, first_seq, last_seq,
     * n_seqs). */
+  /** Bucket count for [[packChunks]] from an input-row estimate: one
+    * window partition holds ~corpus/buckets rows, so the count must grow
+    * with the input — a fixed 32 is a skew cliff at 10¹² docs (3·10¹⁰ rows
+    * sorted in ONE window partition). Target ≤2M rows per bucket window,
+    * floor 32 (sandbox scale resolves to exactly the old default), cap 1M
+    * (the driver-side offset array stays trivially small). */
+  private[engine] def autoBuckets(estRows: Long): Int =
+    math.min(1000000L, math.max(32L, estRows / 2000000L)).toInt
+
   def packChunks(
       docs: DataFrame, idCol: String, textCol: String,
-      budget: Long, buckets: Int = 32): DataFrame = {
-    require(budget > 0 && buckets > 0)
+      budget: Long, buckets: Int = 0): DataFrame = {
+    require(budget > 0 && buckets >= 0,
+      "buckets must be positive, or 0 to derive from the input size")
     val spark = docs.sparkSession
+    // buckets = 0 → derive from Catalyst plan stats so the per-bucket
+    // window partition is bounded no matter the corpus size; an explicit
+    // value is honored unchanged (the oracled queries pin it)
+    val nBuckets =
+      if (buckets > 0) buckets
+      else {
+        val stats = docs.queryExecution.optimizedPlan.stats
+        val estRows = stats.rowCount.map(_.longValue).getOrElse(
+          // no row estimate → assume ~512 B/doc over the plan's size estimate
+          math.max(1L, (stats.sizeInBytes / 512).longValue))
+        autoBuckets(estRows)
+      }
     val packKey = concat(lit("pack:"), col(idCol).cast(LongType).cast(StringType))
     // persist the slim layout frame (id, toks, bucket, h — ~32 B/row): both
     // phases read it, and without the cache phase 2 would rescan the full
     // text corpus and re-run the tokenizer regex a second time
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       TextOps.bpeTokenCount(coalesce(col(textCol), lit(""))).cast(LongType).as("toks"),
-      expressions.Hash64Functions.hashBucketCol(packKey, 0, buckets).as("bucket"),
+      expressions.Hash64Functions.hashBucketCol(packKey, 0, nBuckets).as("bucket"),
       expressions.Hash64Functions.hash64Col(packKey, 0).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     // phase 1: per-bucket totals → exclusive bucket offsets (driver-side —
     // `buckets` rows, constant size regardless of corpus scale)
     val sums = base.groupBy("bucket").agg(sum("toks").as("btoks"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val offsets = (0L until buckets).scanLeft(0L) { case (acc, b) =>
+    val offsets = (0L until nBuckets).scanLeft(0L) { case (acc, b) =>
       acc + sums.getOrElse(b, 0L)
     }.init.zipWithIndex.map { case (off, b) => (b.toLong, off) }
     val offDf = spark.createDataFrame(offsets).toDF("bucket", "bucket_off")

@@ -72,9 +72,14 @@ object SchemaRegistry {
         else
           // both branches emit (…, valid, errors); unknown names route to
           // the row core, whose registry lookup raises the same error the
-          // CASE chain's otherwise would
+          // CASE chain's otherwise would. NULL schema names must ALSO fall
+          // through to the row core: `isin` evaluates to NULL for them, so
+          // a bare not(isin(...)) would silently drop the row from both
+          // branches — coalesce the predicate so NULL routes to the row
+          // core's lookup error instead of vanishing.
           columnar.unionByName(rowCoreValidateWith(spark,
-            df.where(not(col(schemaCol).isin(compiledNames: _*))),
+            df.where(not(coalesce(
+              col(schemaCol).isin(compiledNames: _*), lit(false)))),
             registry, schemaCol))
     }
   }

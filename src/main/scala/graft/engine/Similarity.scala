@@ -210,7 +210,7 @@ object Similarity {
     // is far cheaper than caching the whole corpus.
     val pruned = withBucket.join(smallBuckets, Seq("bucket"))
       .repartition(col("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistTracked()
     val a = pruned.select(col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
     val b = pruned.select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val pairs = a.join(b, Seq("bucket"))

@@ -85,7 +85,18 @@ object GraftFunctions {
 object GraftExtensions {
   private def litInt(e: Expression, what: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) =>
+      // a BIGINT SQL literal parses as Literal[Long] — reject values that
+      // don't fit rather than silently truncating to a wrong seed
+      if (v < Int.MinValue || v > Int.MaxValue)
+        throw new IllegalArgumentException(
+          s"$what literal $v is outside Int range")
+      else v.toInt
+    case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
+  }
+  private def litLong(e: Expression, what: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
     case _ => throw new IllegalArgumentException(s"$what must be an integer literal")
   }
   private def litStr(e: Expression, what: String): String = e match {
@@ -117,9 +128,17 @@ object GraftExtensions {
       new ExpressionInfo(classOf[Hash64].getName, "graft_bucket"),
       {
         case Seq(s, seed, mod) =>
-          Hash64(s, litInt(seed, "seed"), litInt(mod, "mod").toLong)
+          Hash64(s, litInt(seed, "seed"), litLong(mod, "mod"))
         case other => throw new IllegalArgumentException(
           s"graft_bucket expects 3 arguments, got ${other.length}")
+      }),
+    // graft_simhash64(str) — 64-bit whitespace-token SimHash signature
+    (FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      {
+        case Seq(s) => SimHash64(s)
+        case other => throw new IllegalArgumentException(
+          s"graft_simhash64 expects 1 argument, got ${other.length}")
       }),
     // graft_format_check(str, 'format') — draft-7 format dispatch
     (FunctionIdentifier("graft_format_check"),

@@ -28,6 +28,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && !r.getBoolean(1) && r.getBoolean(2))
   }
 
+  test("graft_simhash64 matches the reference per-token counter loop and stays codegen'd") {
+    GraftExtensions.register(spark)
+    // driver-side reference: hash64(token, 0) per whitespace token, 64
+    // up/down counters, sign -> bit
+    def refSimhash(text: String): Long = {
+      val counters = new Array[Int](64)
+      text.trim.split("\\s+").foreach { t =>
+        val hv = Dedup.hash64(t, 0)
+        (0 until 64).foreach { j =>
+          if (((hv >>> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+        }
+      }
+      (0 until 64).foldLeft(0L)((s, j) => if (counters(j) > 0) s | (1L << j) else s)
+    }
+    val texts = Seq("the quick brown fox", "  spaced   out  tokens ", "single", "")
+    val got = spark.sql(
+      texts.map(t => s"SELECT graft_simhash64('${t}') s").mkString(" UNION ALL "))
+      .collect().map(_.getLong(0))
+    assert(got.toSeq === texts.map(refSimhash))
+    // and the Column API is the same expression (no interpreted HOFs): the
+    // physical plan of a simhash projection must stay whole-stage codegen'd
+    import spark.implicits._
+    // repartition blocks local-relation constant folding so the projection
+    // actually runs on executors and the codegen assertion is meaningful
+    val df = texts.toDF("text").repartition(2)
+      .select(Dedup.simhash64(org.apache.spark.sql.functions.col("text")).as("sig"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ===
+      texts.map(refSimhash).sorted)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"expected whole-stage codegen, got:\n$plan")
+  }
+
   test("non-literal seed / format arguments fail loudly at plan time") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {
@@ -41,6 +73,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     new graft.engine.expressions.GraftExtensions()
       .apply(new org.apache.spark.sql.SparkSessionExtensions)
     assert(GraftExtensions.functions.map(_._1.funcName).sorted ===
-      Seq("graft_bucket", "graft_exact_multiple_of", "graft_format_check", "graft_hash64"))
+      Seq("graft_bucket", "graft_exact_multiple_of", "graft_format_check",
+        "graft_hash64", "graft_simhash64"))
   }
 }

@@ -126,6 +126,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(planStr.contains("InMemoryTableScan"), planStr.take(600))
   }
 
+  test("packChunks bucket auto-derivation bounds the per-window partition at any scale") {
+    // floor: sandbox-scale inputs resolve to the historical default of 32
+    assert(Pipeline.autoBuckets(1L) === 32)
+    assert(Pipeline.autoBuckets(500L) === 32)
+    assert(Pipeline.autoBuckets(64000000L) === 32)
+    // growth: past the floor, each bucket window holds ≤ ~2M rows — the
+    // invariant that makes the per-bucket sort survive a 10^12-doc corpus
+    for (est <- Seq(1e8.toLong, 1e9.toLong, 1e10.toLong, 1e12.toLong)) {
+      val b = Pipeline.autoBuckets(est)
+      assert(b >= 32 && b <= 1000000, s"est=$est b=$b")
+      if (b < 1000000)
+        assert(est / b <= 2100000L, s"est=$est b=$b holds ${est / b} rows/window")
+    }
+    // cap: the driver-side offset array stays bounded
+    assert(Pipeline.autoBuckets(Long.MaxValue) === 1000000)
+    // the buckets=0 auto path produces the same layout as an explicit 32 at
+    // this scale (auto resolves to the floor here)
+    val auto = Pipeline.packChunks(docs, "doc_id", "text", budget = 128)
+      .select("doc_id", "start_off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pinned = Pipeline.packChunks(docs, "doc_id", "text", budget = 128, buckets = 32)
+      .select("doc_id", "start_off").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto === pinned)
+  }
+
   test("repetitionSignals matches a brute-force reference on random corpora") {
     val rnd = new scala.util.Random(99)
     val corpora = (0 until 60).map { i =>

@@ -49,7 +49,11 @@ class Round3FixSpec extends AnyFunSuite {
       }
       val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val truth = nodes.map(x => x -> find(x)).toMap
-      val got = Dedup.componentsStar(edges.toDF("id_a", "id_b")).collect()
+      // verifyConvergenceExactly: every round the (count, checksum)
+      // fixed-point signature is asserted against the exact two-anti-join
+      // set equality — the production check and the debug check must agree
+      val got = Dedup.componentsStar(edges.toDF("id_a", "id_b"),
+          verifyConvergenceExactly = true).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === truth, s"trial $trial (n=$n)")
     }

@@ -97,4 +97,24 @@ class SchemaRegistrySpec extends AnyFunSuite {
     assert("DeserializeToObject".r.findAllIn(plan).length === 1, plan)
     assert(plan.toLowerCase.contains("case when"), plan)
   }
+
+  test("hybrid dispatch: NULL schema name fails loudly instead of silently dropping the row") {
+    // `isin` evaluates to NULL for a NULL schema name, so both branch
+    // filters would discard the row without the coalesce routing — the row
+    // must instead reach the row core and raise its lookup error
+    val nullableSchema = StructType(schema.fields.map(f =>
+      if (f.name == "schema_name") f.copy(nullable = true) else f))
+    val reg = SchemaRegistry.compile(Map(
+      "short-text" -> """{"properties":{"payload":{"type":"string","maxLength":5}},"required":["payload"]}""",
+      "meta" -> """{"$ref":"http://json-schema.org/draft-07/schema#"}"""))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(0L, "short-text", "hi"), Row(1L, null, "x"), Row(2L, "meta", "x")), 1),
+      nullableSchema)
+    val e = intercept[Throwable] {
+      SchemaRegistry.validateWith(spark, df, reg, "schema_name").collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("no schema 'null'")) || mentions(t.getCause))
+    assert(mentions(e))
+  }
 }

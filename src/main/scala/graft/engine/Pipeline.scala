@@ -298,8 +298,18 @@ object Pipeline {
       coalesce(col(textCol), lit("")).as("text"))
     val verdicts = qualityVerdictsWithText(base, "doc_id", "text")
     val quality = verdicts.select("doc_id", "tokens", "reasons", "keep")
-    // inline filter — no verdict-to-corpus semi-join, the text rode along
-    val kept = verdicts.where(col("keep")).select("doc_id", "text")
+    // inline filter — no verdict-to-corpus semi-join, the text rode along.
+    // MATERIALIZE the kept frame (tracked MEMORY_AND_DISK, the standard
+    // inter-phase materialization of a curation run): it feeds BOTH the
+    // keepBest clustering and the canonical semi-join, so without the cache
+    // the full quality stage executes twice — and, worse, its ~200-node
+    // expression tree re-fuses into every downstream stage's whole-stage-
+    // codegen class (filter, join, split, packing variants), generating
+    // janino compiles of the same giant projection 5+ times per run
+    // (measured: the chain's cold wall time halves with the barrier).
+    // Downstream stages now compile against three narrow cached columns.
+    val kept = Caches.persistTracked(
+      verdicts.where(col("keep")).select("doc_id", "text"))
     val clusters = Dedup.keepBest(kept, "doc_id", "text")
     val canon = kept.join(
       clusters.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")

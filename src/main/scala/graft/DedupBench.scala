@@ -73,40 +73,51 @@ object DedupBench {
     val n = setup.read.parquet(table).count()
     setup.stop()
 
-    def run(cpus: Int): (Double, Double, Double) = {
+    def run(cpus: Int): Map[String, Double] = {
       val s = session(cpus)
       try {
         val docs = s.read.parquet(table)
-        def exact(): Double = time {
-          docs.select(TextOps.fingerprint(col("text")).as("f"))
-            .groupBy("f").agg(count(lit(1)).as("c")).where(col("c") > 1).count()
-        }
-        def minhash(): Double = time {
-          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8,
-            maxBucket = 256).count()
-        }
-        def simhash(): Double = time {
-          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2,
-            maxBucket = 4096).count()
-        }
-        exact(); minhash(); simhash() // warm-up
-        ((1 to 3).map(_ => exact()).min,
-          (1 to 3).map(_ => minhash()).min,
-          (1 to 3).map(_ => simhash()).min)
+        val ops: Seq[(String, () => Unit)] = Seq(
+          "exact" -> (() => {
+            docs.select(TextOps.fingerprint(col("text")).as("f"))
+              .groupBy("f").agg(count(lit(1)).as("c")).where(col("c") > 1).count()
+            ()
+          }),
+          "minhash" -> (() => {
+            Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.8,
+              maxBucket = 256).count(); ()
+          }),
+          "simhash" -> (() => {
+            Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 2,
+              maxBucket = 4096).count(); ()
+          }),
+          "winnow" -> (() => {
+            Dedup.winnowPairs(docs, "doc_id", "text", minShared = 8).count(); ()
+          }),
+          "spans" -> (() => {
+            Dedup.dupSpans(docs, "doc_id", "text", k = 20).count(); ()
+          }))
+        ops.map { case (name, op) =>
+          op() // warm
+          graft.engine.Caches.releaseAll()
+          name -> (1 to 3).map { _ =>
+            val t = time(op()); graft.engine.Caches.releaseAll(); t
+          }.min
+        }.toMap
       } finally s.stop()
     }
 
+    val opNames = Seq("exact", "minhash", "simhash", "winnow", "spans")
     val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
-      Seq(32, 16, 8, 4).map { c =>
-        val (e, m, h) = levels(c)
-        s""""exact_docs_per_sec_local$c":${f"${n / e}%.0f"},""" +
-        s""""minhash_docs_per_sec_local$c":${f"${n / m}%.0f"},""" +
-        s""""simhash_docs_per_sec_local$c":${f"${n / h}%.0f"}"""
+      Seq(32, 16, 8, 4).flatMap { c =>
+        opNames.map(o =>
+          s""""${o}_docs_per_sec_local$c":${f"${n / levels(c)(o)}%.0f"}""")
       }.mkString(",") + "," +
-      s""""minhash_efficiency_4_to_16":${f"${(levels(4)._2 / levels(16)._2) / 4.0}%.3f"},""" +
-      s""""simhash_efficiency_4_to_16":${f"${(levels(4)._3 / levels(16)._3) / 4.0}%.3f"}}"""
+      opNames.map(o =>
+        s""""${o}_efficiency_4_to_16":${f"${(levels(4)(o) / levels(16)(o)) / 4.0}%.3f"}""")
+        .mkString(",") + "}"
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("dedup_bench_out.json"), (json + "\n").getBytes("UTF-8"))

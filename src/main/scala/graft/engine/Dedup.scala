@@ -73,7 +73,7 @@ object Dedup {
     * JVM loops. Spark's higher-order functions are CodegenFallback — the
     * interpreted per-shingle lambda costs ~100× this typed projection, which
     * matters when the signature stage runs over 10^12 docs. */
-  private def signatureFrame(
+  private[graft] def signatureFrame(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int, h: Int, bands: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -165,6 +165,29 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** The materializable MinHash-LSH band-key index of a corpus snapshot:
+    * one (band, bucket, id, shingles) row per doc × band, with buckets
+    * above `maxBucket` dropped (the same skew discipline as
+    * [[minhashPairs]] — a boilerplate bucket would otherwise make every
+    * incoming probe join O(bucket) rows). At scale this frame is WRITTEN
+    * (partitioned by band) as the snapshot's near-dup index; a new batch or
+    * stream probes it with a plain equi-join on (band, bucket) — see
+    * [[graft.streaming.StreamingChecks.streamingNearDup]]. */
+  def minhashIndex(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, h: Int = 16, bands: Int = 4, maxBucket: Int = 64): DataFrame = {
+    require(h % bands == 0, "bands must divide the signature length")
+    val exploded = signatureFrame(docs, idCol, textCol, k, h, bands)
+      .select(col("id"), col("shingles"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    val small = exploded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket)
+      .select("band", "bucket")
+    exploded.join(small, Seq("band", "bucket"))
+      .select("band", "bucket", "id", "shingles")
   }
 
   /** Count of LSH buckets exceeding the skew cap — computed from the SAME

@@ -115,6 +115,53 @@ object StreamingChecks {
       .dropDuplicatesWithinWatermark("f")
   }
 
+  /** Streaming NEAR-dup detection against a static corpus snapshot: each
+    * stream doc's MinHash band keys (same typed signature stage as the
+    * batch path) probe the snapshot's precomputed
+    * [[graft.engine.Dedup.minhashIndex]] with a stream-static equi-join on
+    * (band, bucket), and every candidate is verified with the exact shingle
+    * Jaccard — LSH only generates candidates, identical to batch
+    * [[graft.engine.Dedup.minhashPairs]] semantics. The index side carries
+    * the skew cap (`maxBucket` applied when the index was built), so a
+    * degenerate boilerplate bucket can never blow up a micro-batch join.
+    *
+    * Output: (stream_id, static_id, jaccard) for jaccard ≥ threshold,
+    * self-matches excluded. A pair colliding in several bands (or a doc
+    * re-sent across micro-batches) emits repeat rows — a stream cannot
+    * globally dedup without unbounded state; pass `tsCol` to bound repeats
+    * with `dropDuplicatesWithinWatermark`, or dedup downstream.
+    *
+    * The stream side must use the SAME (k, h, bands) the index was built
+    * with — band keys are positional hashes over the signature. */
+  def streamingNearDup(
+      stream: DataFrame, staticIndex: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, h: Int = 16, bands: Int = 4, threshold: Double = 0.5,
+      tsCol: Option[String] = None, watermark: String = "2 minutes"): DataFrame = {
+    val probeCols = col("id").as("stream_id") +: col("shingles").as("sh_s") +:
+      posexplode(col("bands")).as(Seq("band", "bucket")) +:
+      tsCol.map(col).toSeq
+    val probes = graft.engine.Dedup
+      .signatureFrame(stream, idCol, textCol, k, h, bands)
+      .select(probeCols: _*)
+    val matched = probes
+      .join(staticIndex.select(col("band"), col("bucket"),
+        col("id").as("static_id"), col("shingles").as("sh_i")),
+        Seq("band", "bucket"))
+      .where(col("stream_id") =!= col("static_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_s"), col("sh_i"))).cast(DoubleType) /
+          size(array_union(col("sh_s"), col("sh_i"))).cast(DoubleType))
+      .where(col("jaccard") >= threshold)
+    val out = matched.select(
+      (Seq(col("stream_id"), col("static_id"),
+        round(col("jaccard"), 6).as("jaccard")) ++ tsCol.map(col)): _*)
+    tsCol match {
+      case Some(ts) => out.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark("stream_id", "static_id")
+      case None => out
+    }
+  }
+
   final case class PartitionCounts(partition: Int, passCount: Long, failCount: Long)
 
   /** Running per-partition pass/fail counts over a validated stream —

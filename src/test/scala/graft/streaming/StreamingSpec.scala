@@ -140,6 +140,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup against a static minhash index agrees with batch minhashPairs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = graft.engine.TextOps.withMutatedTwins(docs, "doc_id", "text")
+    // snapshot = the originals; the stream carries their mutated twins
+    // (negative ids). maxBucket is set high on BOTH sides so the skew caps
+    // (which count different populations: whole corpus vs index side) can't
+    // introduce an asymmetry — the agreement under test is the LSH band
+    // keys + exact-jaccard verify.
+    val originals = corpus.where(col("doc_id") >= 0)
+    val index = graft.engine.Dedup
+      .minhashIndex(originals, "doc_id", "text", maxBucket = 100000)
+      .persist()
+    val twins = corpus.where(col("doc_id") < 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val matches = StreamingChecks.streamingNearDup(
+      input.toDF().toDF("doc_id", "text"), index, "doc_id", "text",
+      threshold = 0.5)
+    val q = matches.writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = twins.splitAt(twins.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT stream_id, static_id, jaccard FROM neardup_stream").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+      // batch reference over the combined corpus, restricted to the
+      // orig-twin pairs the stream could see
+      val batch = graft.engine.Dedup.minhashPairs(
+          corpus, "doc_id", "text", threshold = 0.5, maxBucket = 100000)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (x, y, _) => (x < 0) != (y < 0) }.toSet
+      assert(streamed.nonEmpty, "twins must match their originals")
+      assert(streamed === batch)
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("pipeline quality filter and split assignment run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

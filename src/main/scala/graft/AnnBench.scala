@@ -104,6 +104,39 @@ object AnnBench {
     val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
     def annS(c: Int) = levels(c)._1
     def dupS(c: Int) = levels(c)._2
+
+    // -- IVF recall-vs-nProbe curve at full corpus scale -------------------
+    // exact top-10 (brute force over all n vectors) is the ground truth;
+    // each probe width re-runs the full ivfTopK pipeline (train + assign +
+    // probe join), so `secs` is the end-to-end cost of that operating point
+    // and `recall` the fraction of true neighbors it returns — the
+    // measured trade-off a 10^12-vector deployment tunes nProbe against.
+    val ivfCurve = {
+      val s = session(32)
+      try {
+        val corpus = s.read.parquet(table)
+        val queries = corpus.where(col("vec_id") < 5)
+        val exact = Similarity.bruteForceTopK(corpus, queries, 10).collect()
+          .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+          .map { case (q, rows) => q -> rows.map(_._2).toSet }
+        Seq(1, 2, 4, 8, 16, 32, 64).map { p =>
+          val t0 = System.nanoTime()
+          val got = Similarity.ivfTopK(corpus, queries, k = 10,
+              nlist = 64, nProbe = p).collect()
+            .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+            .map { case (q, rows) => q -> rows.map(_._2).toSet }
+          val secs = (System.nanoTime() - t0) / 1e9
+          val recall = exact.map { case (q, truth) =>
+            got.getOrElse(q, Set.empty[Long]).intersect(truth).size.toDouble / truth.size
+          }.sum / exact.size
+          (p, recall, secs)
+        }
+      } finally s.stop()
+    }
+    val ivfJson = ivfCurve.map { case (p, r, secs) =>
+      s"""{"nProbe":$p,"recall":${f"$r%.3f"},"secs":${f"$secs%.2f"}}"""
+    }.mkString("[", ",", "]")
+
     val json =
       s"""{"vectors":$n,"replicate":$replicate,"sf":"$sfDir",""" +
       Seq(32, 16, 8, 4).map(c =>
@@ -113,7 +146,8 @@ object AnnBench {
       s""""ann_efficiency_4_to_16":${f"${(annS(4) / annS(16)) / 4.0}%.3f"},""" +
       s""""ann_efficiency_8_to_32":${f"${(annS(8) / annS(32)) / 4.0}%.3f"},""" +
       s""""neardup_efficiency_4_to_16":${f"${(dupS(4) / dupS(16)) / 4.0}%.3f"},""" +
-      s""""neardup_efficiency_8_to_32":${f"${(dupS(8) / dupS(32)) / 4.0}%.3f"}}"""
+      s""""neardup_efficiency_8_to_32":${f"${(dupS(8) / dupS(32)) / 4.0}%.3f"},""" +
+      s""""ivf_recall_curve":$ivfJson}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("ann_bench_out.json"), (json + "\n").getBytes("UTF-8"))

@@ -68,9 +68,21 @@ object DedupBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPLICATE", "100").toInt
+    // winnowPairs runs on a SMALLER replication: winnowing selects window
+    // MINIMA, which biases every doc toward the globally-smallest k-gram
+    // hashes, so on this synthetic high-token-reuse corpus the inverted
+    // index's candidate join emits Σ min(c_f, cap)² rows that grow ~×22
+    // from ×20 to ×100 replication (measured 252M → 5.6G join rows;
+    // WinnowProbe) — minutes per run at ×100 regardless of parallelism.
+    // 100k docs keeps the measurement in the throughput regime; the cap is
+    // sized 64·minShared per the operator's documented cost model.
+    val winReplicate = sys.env.getOrElse("SPARK_GRAFT_WINNOW_REPLICATE",
+      math.max(1, replicate / 5).toString).toInt
     val setup = session(32)
     val table = corpusTable(setup, sfDir, replicate)
+    val winTable = corpusTable(setup, sfDir, winReplicate)
     val n = setup.read.parquet(table).count()
+    val winN = setup.read.parquet(winTable).count()
     setup.stop()
 
     def run(cpus: Int): Map[String, Double] = {
@@ -92,16 +104,20 @@ object DedupBench {
               maxBucket = 4096).count(); ()
           }),
           "winnow" -> (() => {
-            Dedup.winnowPairs(docs, "doc_id", "text", minShared = 8).count(); ()
+            Dedup.winnowPairs(s.read.parquet(winTable), "doc_id", "text",
+              minShared = 8, maxBucket = 512).count(); ()
           }),
           "spans" -> (() => {
             Dedup.dupSpans(docs, "doc_id", "text", k = 20).count(); ()
           }))
         ops.map { case (name, op) =>
-          op() // warm
+          val warmT = time(op()) // warm
           graft.engine.Caches.releaseAll()
-          name -> (1 to 3).map { _ =>
-            val t = time(op()); graft.engine.Caches.releaseAll(); t
+          System.err.println(f"[dedupbench] local[$cpus] $name warm ${warmT}%.1f s")
+          name -> (1 to 3).map { i =>
+            val t = time(op()); graft.engine.Caches.releaseAll()
+            System.err.println(f"[dedupbench] local[$cpus] $name run$i ${t}%.1f s")
+            t
           }.min
         }.toMap
       } finally s.stop()
@@ -109,11 +125,13 @@ object DedupBench {
 
     val opNames = Seq("exact", "minhash", "simhash", "winnow", "spans")
     val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
+    def opDocs(o: String): Long = if (o == "winnow") winN else n
     val json =
-      s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
+      s"""{"docs":$n,"replicate":$replicate,"winnow_docs":$winN,""" +
+      s""""winnow_replicate":$winReplicate,"sf":"$sfDir",""" +
       Seq(32, 16, 8, 4).flatMap { c =>
         opNames.map(o =>
-          s""""${o}_docs_per_sec_local$c":${f"${n / levels(c)(o)}%.0f"}""")
+          s""""${o}_docs_per_sec_local$c":${f"${opDocs(o) / levels(c)(o)}%.0f"}""")
       }.mkString(",") + "," +
       opNames.map(o =>
         s""""${o}_efficiency_4_to_16":${f"${(levels(4)(o) / levels(16)(o)) / 4.0}%.3f"}""")

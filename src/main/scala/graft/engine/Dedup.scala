@@ -401,7 +401,18 @@ object Dedup {
     * scale discipline as [[minhashPairs]]: hot fingerprints (boilerplate
     * runs) above `maxBucket` are dropped, and the pruned index is
     * co-partitioned + cached once so the self-join adds no second payload
-    * exchange. Output: (id_a, id_b, shared) with id_a < id_b. */
+    * exchange. Output: (id_a, id_b, shared) with id_a < id_b.
+    *
+    * COST MODEL (measured, see BASELINE.md): the candidate join emits
+    * Σ_f min(c_f, maxBucket)² rows over the fingerprint document
+    * frequencies c_f — the MID-tail (c_f in the hundreds) dominates, not
+    * the capped head. Size `maxBucket` from the pair budget: join rows ≤
+    * distinct_f · maxBucket², and a fingerprint shared by hundreds of docs
+    * is boilerplate, not evidence two specific docs match — true near-dup
+    * pairs accumulate `minShared` hits from RARE fingerprints. Benchmarks
+    * on corpora with heavy cross-doc token reuse run maxBucket ≈ 64·
+    * minShared; the 10k default suits real prose where cross-doc
+    * collisions are sparse. */
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 16, minShared: Int = 8,

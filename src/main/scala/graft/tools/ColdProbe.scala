@@ -23,6 +23,8 @@ object ColdProbe {
       println(f"[cold-probe] $name $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       graft.engine.Caches.releaseAll()
     }
+    if (sys.env.contains("SPARK_GRAFT_PROBE_SHOW"))
+      fn(spark, sfDir).show(100, truncate = false)
     run("cold")
     run("warm1")
     run("warm2")

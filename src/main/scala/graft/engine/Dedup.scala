@@ -190,6 +190,23 @@ object Dedup {
       .select("band", "bucket", "id", "shingles")
   }
 
+  /** Persist a [[minhashIndex]] as a BUCKETED, per-bucket-sorted table.
+    * Probe joins against `spark.table(name)` then read pre-bucketed files:
+    * Catalyst plans NO exchange and NO sort on the index side — only the
+    * (small) incoming batch shuffles into the index's bucket layout. At
+    * snapshot scale the index is written once and probed by every
+    * ingestion batch/stream, so this removes the dominant recurring
+    * shuffle (re-shuffling the 10^12-row index per probe). `numBuckets`
+    * spreads each (band, bucket) key space across files; size it so a
+    * bucket file stays in the hundreds of MB. */
+  def writeBucketedMinhashIndex(
+      index: DataFrame, name: String, numBuckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(numBuckets, "band", "bucket")
+      .sortBy("band", "bucket")
+      .format("parquet")
+      .saveAsTable(name)
+
   /** Count of LSH buckets exceeding the skew cap — computed from the SAME
     * [[signatureFrame]] band hashing [[minhashPairs]] prunes with, so the
     * metric describes the buckets actually dropped. */

@@ -12,6 +12,8 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // keep saveAsTable specs (bucketed index) out of the repo tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

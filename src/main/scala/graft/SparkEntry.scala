@@ -420,6 +420,16 @@ object SparkEntry {
         "doc_id", "text", k = 20)
         .orderBy("doc_id")),
 
+    // the rewrite half of substring dedup: duplicated 20-token runs cut
+    // from every occurrence except the corpus-canonical (min (id,pos)) one
+    "q_scrub_spans" -> ((s, dir) =>
+      Dedup.scrubDupSpans(
+        TextOps.withMutatedTwins(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"),
+          "doc_id", "text"),
+        "doc_id", "text", k = 20)
+        .orderBy("doc_id")),
+
     // end-to-end curation chain (quality filter → canonical dedup → split),
     // over a corpus with an injected spam doc and verbatim dup copies
     "q_curate_assign" -> ((s, dir) => {
@@ -1269,6 +1279,34 @@ object SparkEntry {
            |  FROM agg)
            |SELECT id AS doc_id, CAST(n AS INTEGER) AS n_tokens, CAST(nw AS INTEGER) AS n_dup_windows,
            |  CAST(ct AS INTEGER) AS dup_tokens, CAST(ct AS DOUBLE) / n AS dup_frac
+           |FROM cov ORDER BY doc_id""".stripMargin
+      },
+
+      // scrub mirror: same positional window hashes, canonical occurrence =
+      // lexicographic min [id, pos] per duplicated hash (Spark's
+      // min(struct(id, pos)) ≡ DuckDB's min over a two-element list), then
+      // the kept text is rebuilt by a comprehension skipping covered
+      // positions
+      "q_scrub_spans" -> {
+        val gramHash = HashSql.hash64("array_to_string(ts[i:i+19], ' ')", 11)
+        s"""WITH $twinsCorpus,
+           |cl AS (SELECT id, trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl FROM corpus),
+           |tok AS (SELECT id, CASE WHEN cl = '' THEN CAST([] AS VARCHAR[]) ELSE string_split(cl, ' ') END AS ts FROM cl),
+           |w AS (SELECT id,
+           |    unnest([{'p': i - 1, 'h': $gramHash} for i in range(1, len(ts) - 18)]) AS u
+           |  FROM tok WHERE len(ts) >= 20),
+           |occ AS (SELECT id, u.p AS pos, u.h AS h FROM w),
+           |dh AS (SELECT h, min([id, pos]) AS keep FROM occ
+           |       GROUP BY h HAVING COUNT(*) > 1 AND COUNT(*) <= 10000),
+           |rem AS (SELECT occ.id, occ.pos FROM occ JOIN dh USING (h)
+           |        WHERE NOT (occ.id = dh.keep[1] AND occ.pos = dh.keep[2])),
+           |ps AS (SELECT id, list(pos) AS ps FROM rem GROUP BY id),
+           |cov AS (SELECT tok.id, len(ts) AS n, ts,
+           |    COALESCE([x for x in list_distinct(flatten([range(p, least(p + 20, len(ts))) for p in ps.ps]))], CAST([] AS BIGINT[])) AS cv
+           |  FROM tok LEFT JOIN ps ON ps.id = tok.id)
+           |SELECT id AS doc_id, CAST(n AS INTEGER) AS n_tokens,
+           |  CAST(len(cv) AS INTEGER) AS dup_tokens,
+           |  COALESCE(array_to_string([ts[i] for i in range(1, n + 1) if NOT list_contains(cv, i - 1)], ' '), '') AS kept_text
            |FROM cov ORDER BY doc_id""".stripMargin
       },
 

@@ -411,6 +411,68 @@ object Dedup {
       .toDF("doc_id", "n_tokens", "n_dup_windows", "dup_tokens", "dup_frac")
   }
 
+  /** The REWRITE half of exact substring dedup (Lee et al.): duplicated
+    * ≥k-token runs are cut from every occurrence EXCEPT the corpus-
+    * canonical one — the lexicographically smallest (id, pos) occurrence
+    * of each duplicated window keeps its text — and each doc's surviving
+    * tokens are re-joined. [[dupSpans]] is the measurement pass; this is
+    * the pass that actually produces the deduplicated training corpus.
+    *
+    * Scale shape: the window index is the same narrow (id, pos, hash)
+    * projection as [[dupSpans]]; the canonical occurrence rides the SAME
+    * count-aggregate as the dup filter (one `min(struct(id, pos))` partial
+    * agg — no second shuffle); coverage is doc-local (BitSet over token
+    * positions); and the normalized-text frame is materialized once
+    * (tracked cache) because both the window stage and the final rebuild
+    * read it. Hot window hashes above `maxBucket` (site-wide boilerplate)
+    * are exempt from scrubbing, mirroring [[dupSpans]]' skew discipline.
+    * Output per doc (ALL docs, scrubbed or not): (doc_id, n_tokens,
+    * dup_tokens, kept_text) over whitespace-normalized lowercased text. */
+  def scrubDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 20, maxBucket: Int = 10000): DataFrame = {
+    require(k > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val norm = Caches.persistTracked(
+      docs.select(col(idCol).cast(LongType).as("id"),
+          coalesce(col(textCol), lit("")).as("text"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, t.toLowerCase.replaceAll("\\s+", " ").trim)
+        })
+        .toDF("id", "norm"))
+    val wins = norm.as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.flatMap { case (id, text) =>
+          val tokens = if (text.isEmpty) Array.empty[String] else text.split(" ")
+          (0 to tokens.length - k).iterator.map { i =>
+            (id, i, mix64(md5Base(md, tokens.slice(i, i + k).mkString(" ")) + 11 * golden))
+          }
+        }
+      }.toDF("id", "pos", "h")
+    val dups = wins.groupBy("h")
+      .agg(count(lit(1)).as("c"), min(struct(col("id"), col("pos"))).as("keep"))
+      .where(col("c") > 1 && col("c") <= maxBucket)
+      .select(col("h"), col("keep.id").as("keep_id"), col("keep.pos").as("keep_pos"))
+    val removed = wins.join(dups, Seq("h"))
+      .where(!(col("id") === col("keep_id") && col("pos") === col("keep_pos")))
+      .groupBy("id").agg(collect_list("pos").as("ps"))
+    norm.join(removed, Seq("id"), "left")
+      .select(col("id"), col("norm"), col("ps"))
+      .as[(Long, String, Option[Seq[Int]])]
+      .map { case (id, text, psOpt) =>
+        val tokens = if (text.isEmpty) Array.empty[String] else text.split(" ")
+        val n = tokens.length
+        val covered = new java.util.BitSet(n)
+        psOpt.getOrElse(Nil).foreach(p => covered.set(p, math.min(p + k, n)))
+        val kept = (0 until n).iterator.filterNot(covered.get).map(tokens).mkString(" ")
+        (id, n, covered.cardinality(), kept)
+      }
+      .toDF("doc_id", "n_tokens", "dup_tokens", "kept_text")
+  }
+
   /** Winnowing near-dup pairs: each doc's winnowing fingerprints
     * ([[TextOps.winnowingFingerprints]]) explode into an inverted index
     * (fingerprint → ids); docs sharing ≥ `minShared` fingerprints are

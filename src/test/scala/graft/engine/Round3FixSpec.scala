@@ -126,6 +126,41 @@ class Round3FixSpec extends AnyFunSuite {
     assert(Dedup.dupSpans(boiler, "doc_id", "text", k = 20, maxBucket = 100).count() === 0)
   }
 
+  test("scrubDupSpans keeps exactly one canonical copy of every duplicated run") {
+    val a = (0 until 30).map(i => s"a$i").mkString(" ")       // 30 tokens
+    val c = ((0 until 5).map(i => s"c$i") ++ (0 until 25).map(i => s"a$i") ++
+      (5 until 10).map(i => s"c$i")).mkString(" ")            // 35 tokens
+    val d = (0 until 30).map(i => s"d$i").mkString(" ")       // unique
+    val corpus = Seq((1L, a), (2L, a), (3L, c), (4L, d)).toDF("doc_id", "text")
+    val out = Dedup.scrubDupSpans(corpus, "doc_id", "text", k = 20)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L), "every doc appears, scrubbed or not")
+    // doc 1 holds the canonical (min (id, pos)) occurrences → keeps its text
+    assert(out(1L).getAs[String]("kept_text") === a)
+    assert(out(1L).getAs[Int]("dup_tokens") === 0)
+    // doc 2 is a verbatim copy → fully scrubbed
+    assert(out(2L).getAs[String]("kept_text") === "")
+    assert(out(2L).getAs[Int]("dup_tokens") === 30)
+    // doc 3 loses its shared 25-token run but keeps the unique flanks
+    assert(out(3L).getAs[String]("kept_text") ===
+      ((0 until 5) ++ (5 until 10)).map(i => s"c$i").mkString(" "))
+    assert(out(3L).getAs[Int]("dup_tokens") === 25)
+    // unique doc untouched
+    assert(out(4L).getAs[String]("kept_text") === d)
+    // conservation: kept token count == n_tokens - dup_tokens, every doc
+    out.values.foreach { r =>
+      val kept = r.getAs[String]("kept_text")
+      val n = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(n === r.getAs[Int]("n_tokens") - r.getAs[Int]("dup_tokens"))
+    }
+    // boilerplate above the cap is EXEMPT from scrubbing (same skew
+    // discipline as dupSpans — a site-wide template is policy, not a dup)
+    val boiler = (0 until 500).map(i => (i.toLong, a)).toDF("doc_id", "text")
+    val scrubbed = Dedup.scrubDupSpans(boiler, "doc_id", "text", k = 20, maxBucket = 100)
+      .collect()
+    assert(scrubbed.forall(_.getAs[Int]("dup_tokens") === 0))
+  }
+
   test("incrementalNew keeps one doc per new fingerprint and drops known ones") {
     val existing = Seq((10L, "alpha beta"), (20L, "gamma delta")).toDF("doc_id", "text")
     val newBatch = Seq(

@@ -63,6 +63,47 @@ object SparkEntry {
         "media_ref",
         DocTable.mediaCatalog(s), "media_ref")),
 
+    // the same referential anti-join on a classic FK (orders.o_custkey →
+    // customer.c_custkey), with injected danglers so the check has known
+    // answers; the customer side is broadcast
+    "q_refcheck_orders" -> ((s, dir) => {
+      val orders = s.read.parquet(s"$dir/orders.parquet")
+      val refs = orders.select(col("o_custkey"))
+        .unionByName(orders.where(col("o_orderkey") % 1000 === 0)
+          .select((-col("o_orderkey")).as("o_custkey")))
+      Checks.danglingRefs(refs, "o_custkey",
+        s.read.parquet(s"$dir/customer.parquet"), "c_custkey")
+    }),
+
+    // the compiled draft-7 validation plan over a classic relational table:
+    // numeric bounds / pattern / enum constraints on lineitem compile to
+    // one codegen'd projection; emits the violating rows with their leaf
+    // error counts (+ an injected row failing every rule)
+    "q_lineitem_validate" -> ((s, dir) => {
+      import s.implicits._
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+          "l_returnflag", "l_linestatus")
+        .unionByName(Seq((-1L, 0, 0.5, 0.2, "X", "Z"))
+          .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+            "l_returnflag", "l_linestatus"))
+      val schemaJson =
+        """{"type":"object","properties":{
+          |  "l_quantity":{"minimum":1,"maximum":48},
+          |  "l_discount":{"minimum":0,"maximum":0.09},
+          |  "l_returnflag":{"pattern":"^[ARN]$"},
+          |  "l_linestatus":{"enum":["O","F"]}}}""".stripMargin
+      val doc = graft.schema.SchemaDoc.schema(schemaJson)
+      val fields = li.schema.fields
+      val payload = struct(fields.map(f => col(f.name)).toSeq: _*)
+      val errs = ColumnCompiler.errors(doc, payload,
+        org.apache.spark.sql.types.StructType(fields))
+      li.withColumn("n_errors", size(errs))
+        .where(col("n_errors") > 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("n_errors"))
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "q_stats_profile" -> ((s, dir) =>
       Checks.profile(
         s.read.parquet(s"$dir/events.parquet"),
@@ -745,6 +786,38 @@ object SparkEntry {
            |WHERE media_ref IS NOT NULL
            |  AND CAST(substr(media_ref, 3) AS INTEGER) >= 200
            |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // classic-FK referential mirror: anti-join the injected-dangler ref
+      // set against customer
+      "q_refcheck_orders" ->
+        """WITH refs AS (
+          |  SELECT o_custkey FROM orders
+          |  UNION ALL SELECT -o_orderkey FROM orders WHERE o_orderkey % 1000 = 0)
+          |SELECT r.o_custkey AS ref, COUNT(*) AS ref_count
+          |FROM refs r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+          |WHERE r.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // lineitem validation mirror: each leaf rule recomputed as a CASE —
+      // bounds apply to present numeric values, pattern to strings, enum to
+      // present values (SQL-NULL columns are ABSENT properties in the
+      // engine's row model, and this table has none)
+      "q_lineitem_validate" ->
+        """WITH li AS (
+          |  SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+          |         l_returnflag, l_linestatus FROM lineitem
+          |  UNION ALL SELECT -1, 0, 0.5, 0.2, 'X', 'Z'),
+          |e AS (SELECT l_orderkey, l_linenumber,
+          |    (CASE WHEN l_quantity < 1 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN l_quantity > 48 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN l_discount < 0 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN l_discount > 0.09 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN NOT regexp_matches(l_returnflag, '^[ARN]$') THEN 1 ELSE 0 END) +
+          |    (CASE WHEN l_linestatus NOT IN ('O', 'F') THEN 1 ELSE 0 END) AS n_errors
+          |  FROM li)
+          |SELECT l_orderkey, CAST(l_linenumber AS INTEGER) AS l_linenumber,
+          |  CAST(n_errors AS INTEGER) AS n_errors
+          |FROM e WHERE n_errors > 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
       "q_stats_profile" ->
         """SELECT * FROM (

@@ -62,6 +62,16 @@ object GraftFunctions {
         org.apache.spark.sql.GraftColumnBridge.expression(x.cast(DoubleType)),
         org.apache.spark.sql.GraftColumnBridge.expression(m.cast(DoubleType))))
 
+  /** Column-level `graft_validate` (usable without any registration):
+    * struct(valid, violations) of a JSON instance column against a JSON
+    * schema column (typically `lit(schemaJson)`; a non-literal schema
+    * column gives per-row schema dispatch, memoized per distinct schema). */
+  def validateJson(instanceJson: Column, schemaJson: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      ValidateJson(
+        org.apache.spark.sql.GraftColumnBridge.expression(instanceJson),
+        org.apache.spark.sql.GraftColumnBridge.expression(schemaJson)))
+
   private val info = new ExpressionInfo(
     classOf[ExactMultipleOf].getName, "graft_exact_multiple_of")
 
@@ -147,6 +157,15 @@ object GraftExtensions {
         case Seq(s, fmt) => FormatCheck(s, litStr(fmt, "format"))
         case other => throw new IllegalArgumentException(
           s"graft_format_check expects 2 arguments, got ${other.length}")
+      }),
+    // graft_validate(instance_json, schema_json) — the reference's validate
+    // call: struct(valid, violations array<struct<path, keyword, message>>)
+    (FunctionIdentifier("graft_validate"),
+      new ExpressionInfo(classOf[ValidateJson].getName, "graft_validate"),
+      {
+        case Seq(inst, schema) => ValidateJson(inst, schema)
+        case other => throw new IllegalArgumentException(
+          s"graft_validate expects 2 arguments, got ${other.length}")
       }))
 
   /** Register every graft SQL function in an existing session. */

@@ -53,6 +53,20 @@ object SparkEntry {
         .orderBy("doc_num")
     }),
 
+    // the SQL surface's validate call: same parse→row-core pipeline as
+    // q_jsonl_verdicts but spelled as one native expression
+    // (graft_validate), so the pure-SQL user gets the DuckDB gate too
+    "q_sql_validate" -> ((s, dir) => {
+      graft.engine.expressions.GraftExtensions.register(s)
+      val schemaLit = DocTable.docSchemaJson.replace("'", "''")
+      docs(s, dir)
+        .select(col("doc_num"), to_json(struct(col("doc_id"), col("spans"))).as("doc"))
+        .selectExpr("doc_num", s"graft_validate(doc, '$schemaLit') AS v")
+        .select(col("doc_num"), col("v.valid").as("valid"),
+          size(col("v.violations")).as("n_violations"))
+        .orderBy("doc_num")
+    }),
+
     "q_dedup_exact" -> ((s, dir) =>
       Checks.duplicateKeys(docs(s, dir), "doc_id")),
 
@@ -108,6 +122,15 @@ object SparkEntry {
       Checks.profile(
         s.read.parquet(s"$dir/events.parquet"),
         Seq("value", "user_id", "event_type"))),
+
+    // constraint suggestion (SchemaInfer): the per-path evidence table the
+    // inferred draft-7 schema is built from — flat relational shape
+    "q_infer_lineitem" -> ((s, dir) =>
+      SchemaInfer.evidence(s.read.parquet(s"$dir/lineitem.parquet"))),
+
+    // …and the nested interleaved-document shape (struct + array descent)
+    "q_infer_docs" -> ((s, dir) =>
+      SchemaInfer.evidence(docs(s, dir))),
 
     "q_drift_bins" -> ((s, dir) =>
       Checks.driftBins(
@@ -715,6 +738,46 @@ object SparkEntry {
          |    GREATEST(0.0, LEAST(1.0,
          |      a_r * 0.6 + s_r * 0.8 + (1.0 - d_r) * 0.2 - p_r * 0.3)) AS score
          |  FROM qr)""".stripMargin
+    // SchemaInfer evidence mirrors: one SELECT per schema path, the
+    // inference rules recomputed in SQL (SchemaInfer.scala documents them)
+    def inferInt(path: String, from: String, c: String) =
+      s"""SELECT '$path' AS path, 'integer' AS json_type,
+         |    (SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0 AND COUNT(*) > 0) AS required,
+         |    MIN(CAST($c AS DOUBLE)) AS min_value, MAX(CAST($c AS DOUBLE)) AS max_value,
+         |    CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+         |    COUNT(DISTINCT $c) AS distinct_count,
+         |    CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS format
+         |  FROM $from""".stripMargin
+    def inferNum(path: String, from: String, c: String) =
+      s"""SELECT '$path' AS path,
+         |    CASE WHEN COALESCE(bool_and(fmod($c, 1) = 0), TRUE)
+         |         THEN 'integer' ELSE 'number' END AS json_type,
+         |    (SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0 AND COUNT(*) > 0) AS required,
+         |    MIN(CAST($c AS DOUBLE)) AS min_value, MAX(CAST($c AS DOUBLE)) AS max_value,
+         |    CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+         |    COUNT(DISTINCT $c) AS distinct_count,
+         |    CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS format
+         |  FROM $from""".stripMargin
+    def inferStr(path: String, from: String, c: String) =
+      s"""SELECT '$path' AS path, 'string' AS json_type,
+         |    (SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0 AND COUNT(*) > 0) AS required,
+         |    CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+         |    CAST(MIN(len($c)) AS BIGINT) AS min_len, CAST(MAX(len($c)) AS BIGINT) AS max_len,
+         |    COUNT(DISTINCT $c) AS distinct_count,
+         |    CASE WHEN COUNT(DISTINCT $c) BETWEEN 1 AND 16 AND COUNT($c) > 0
+         |         THEN string_agg(DISTINCT $c, '|' ORDER BY $c) END AS enum_vals,
+         |    CASE WHEN COUNT($c) > 0 AND COALESCE(bool_and(
+         |           regexp_matches($c, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$')), TRUE)
+         |         THEN 'date' END AS format
+         |  FROM $from""".stripMargin
+    def inferTs(path: String, from: String, c: String) =
+      s"""SELECT '$path' AS path, 'string' AS json_type,
+         |    (SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) = 0 AND COUNT(*) > 0) AS required,
+         |    CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+         |    CAST(NULL AS BIGINT) AS min_len, CAST(NULL AS BIGINT) AS max_len,
+         |    CAST(NULL AS BIGINT) AS distinct_count,
+         |    CAST(NULL AS VARCHAR) AS enum_vals, 'date-time' AS format
+         |  FROM $from""".stripMargin
     Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
@@ -744,6 +807,21 @@ object SparkEntry {
            |) ORDER BY doc_num, path, keyword""".stripMargin,
 
       "q_jsonl_verdicts" ->
+        s"""$W, span_viol AS (
+           |  SELECT doc_num, SUM(CASE WHEN kind = 'imag' THEN 1 ELSE 0 END)
+           |                + SUM(CASE WHEN "offset" < 0 THEN 1 ELSE 0 END) AS sviol
+           |  FROM gspans GROUP BY doc_num)
+           |SELECT d.doc_num, (nv.n = 0) AS valid, CAST(nv.n AS INTEGER) AS n_violations
+           |FROM gdocs d
+           |LEFT JOIN span_viol s USING (doc_num),
+           |LATERAL (SELECT (CASE WHEN regexp_matches(d.doc_id_str, '^doc-[0-9]+$$') THEN 0 ELSE 1 END)
+           |              + (CASE WHEN d.n_spans < 1 THEN 1 ELSE 0 END)
+           |              + COALESCE(s.sviol, 0) AS n) nv
+           |ORDER BY d.doc_num""".stripMargin,
+
+      // identical semantics to q_jsonl_verdicts: the SQL-surface expression
+      // runs the same row core over the same serialized lines
+      "q_sql_validate" ->
         s"""$W, span_viol AS (
            |  SELECT doc_num, SUM(CASE WHEN kind = 'imag' THEN 1 ELSE 0 END)
            |                + SUM(CASE WHEN "offset" < 0 THEN 1 ELSE 0 END) AS sviol
@@ -835,6 +913,42 @@ object SparkEntry {
           |    CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
           |    MIN(value), MAX(value), COUNT(DISTINCT value) FROM events
           |) ORDER BY "column"""".stripMargin,
+
+      "q_infer_lineitem" -> {
+        val branches = Seq(
+          inferInt("/l_orderkey", "lineitem", "l_orderkey"),
+          inferInt("/l_partkey", "lineitem", "l_partkey"),
+          inferInt("/l_suppkey", "lineitem", "l_suppkey"),
+          inferInt("/l_linenumber", "lineitem", "l_linenumber"),
+          inferNum("/l_quantity", "lineitem", "l_quantity"),
+          inferNum("/l_extendedprice", "lineitem", "l_extendedprice"),
+          inferNum("/l_discount", "lineitem", "l_discount"),
+          inferNum("/l_tax", "lineitem", "l_tax"),
+          inferStr("/l_returnflag", "lineitem", "l_returnflag"),
+          inferStr("/l_linestatus", "lineitem", "l_linestatus"),
+          inferTs("/l_shipdate", "lineitem", "l_shipdate"))
+        s"SELECT * FROM (\n${branches.mkString("\nUNION ALL\n")}\n) ORDER BY path"
+      },
+
+      "q_infer_docs" -> {
+        val spansArr =
+          """SELECT '/spans' AS path, 'array' AS json_type,
+            |    (COUNT(*) > 0) AS required,
+            |    CAST(NULL AS DOUBLE) AS min_value, CAST(NULL AS DOUBLE) AS max_value,
+            |    CAST(MIN(n_spans) AS BIGINT) AS min_len, CAST(MAX(n_spans) AS BIGINT) AS max_len,
+            |    CAST(NULL AS BIGINT) AS distinct_count,
+            |    CAST(NULL AS VARCHAR) AS enum_vals, CAST(NULL AS VARCHAR) AS format
+            |  FROM gdocs""".stripMargin
+        val branches = Seq(
+          inferStr("/doc_id", "gdocs", "doc_id_str"),
+          inferInt("/doc_num", "gdocs", "doc_num"),
+          spansArr,
+          inferStr("/spans/*/kind", "gspans", "kind"),
+          inferStr("/spans/*/media_ref", "gspans", "media_ref"),
+          inferInt("/spans/*/offset", "gspans", "\"offset\""),
+          inferStr("/spans/*/text", "gspans", "text"))
+        s"$W SELECT * FROM (\n${branches.mkString("\nUNION ALL\n")}\n) ORDER BY path"
+      },
 
       "q_drift_bins" ->
         """SELECT CAST(FLOOR(value / 10.0) AS INTEGER) AS bin,

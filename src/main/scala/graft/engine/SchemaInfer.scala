@@ -1,0 +1,261 @@
+package graft.engine
+
+import graft.json.{JArr, JBool, JNum, JObj, JStr, JVal, Json}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Constraint suggestion: profile a typed corpus and emit the draft-7
+  * schema document it already satisfies — the inverse of the validator,
+  * closing the loop between the stats engine ([[Checks.profile]]) and
+  * [[graft.validate.Validator]]. The reference has no counterpart (jinx
+  * only checks schemas, `validate.cljc`); this is the operation a
+  * large-scale pipeline needs to BOOTSTRAP those checks: infer the contract
+  * from a trusted snapshot, then validate every later snapshot against it
+  * (drift in structure surfaces as violations, complementing the
+  * distribution drift of [[Checks.ksDrift]]).
+  *
+  * Scale shape: ONE aggregate pass per nesting frame (the root frame plus
+  * one exploded frame per array path — depth-bounded by the schema, not the
+  * data). Every metric is partial-aggregable, so map-side combine applies
+  * and each shuffle carries one row per partition. The only driver-side
+  * materialization is one evidence row per schema path plus ≤ [[enumMax]]
+  * values per flagged enum column.
+  *
+  * Inference rules (deterministic, each SQL-expressible — the DuckDB
+  * oracles `q_infer_lineitem` / `q_infer_docs` recompute them):
+  *  - JSON type from the Spark type; floating/decimal columns narrow to
+  *    `integer` when every non-null value is whole (`x % 1 = 0`)
+  *  - `required` = no NULLs seen (within the field's own nesting frame);
+  *    a NULL-able leaf gets type `[t, "null"]`
+  *  - numeric `minimum`/`maximum`; string `minLength`/`maxLength`
+  *    (chars); array `minItems`/`maxItems`
+  *  - string `enum` when 1 ≤ distinct ≤ [[enumMax]]
+  *  - `format`: `date`/`date-time` for date/timestamp Spark types;
+  *    `date` for string columns whose every non-null value matches the
+  *    ISO date shape
+  */
+object SchemaInfer {
+
+  val enumMax = 16
+  private val dateRx = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+  private sealed trait Kind
+  private case object KInt extends Kind
+  private case object KNum extends Kind
+  private case object KStr extends Kind
+  private case object KBool extends Kind
+  private case object KArr extends Kind
+  private case object KDate extends Kind
+  private case object KTs extends Kind
+  private case object KObj extends Kind // map/binary leaves: type only
+
+  private final case class Leaf(path: String, expr: Column, kind: Kind, nullable: Boolean)
+
+  private def scalarKind(dt: DataType): Kind = dt match {
+    case ByteType | ShortType | IntegerType | LongType => KInt
+    case FloatType | DoubleType | _: DecimalType => KNum
+    case StringType => KStr
+    case BooleanType => KBool
+    case DateType => KDate
+    case TimestampType => KTs
+    case TimestampNTZType => KTs
+    case _ => KObj
+  }
+
+  // Leaves of one nesting frame + the array descents that start new frames.
+  // Paths are JSON-pointer-ish, with a star segment marking array items
+  // (the `kind` field of `spans` items gets the path /spans + /star/kind
+  // where "star" is the literal asterisk character).
+  private def leavesOf(path: String, e: Column, dt: DataType, nullable: Boolean)
+      : (Seq[Leaf], Seq[(String, Column, DataType, Boolean)]) = dt match {
+    case st: StructType =>
+      val parts = st.fields.toSeq.map(f =>
+        leavesOf(s"$path/${f.name}", e.getField(f.name), f.dataType,
+          nullable || f.nullable))
+      (parts.flatMap(_._1), parts.flatMap(_._2))
+    case at: ArrayType =>
+      (Seq(Leaf(path, e, KArr, nullable)),
+        Seq((s"$path/*", e, at.elementType, at.containsNull)))
+    case _ => (Seq(Leaf(path, e, scalarKind(dt), nullable)), Nil)
+  }
+
+  /** Evidence table: one row per schema path —
+    * (path, json_type, required, min_value, max_value, min_len, max_len,
+    * distinct_count, enum_vals, format). */
+  def evidence(df: DataFrame): DataFrame =
+    frames(df).map { case (frame, leaves) => frameEvidence(frame, leaves) }
+      .reduce(_.unionAll(_)).orderBy("path")
+
+  /** (frame, its leaves) for the root and every array descent, recursively. */
+  private def frames(df: DataFrame): Seq[(DataFrame, Seq[Leaf])] = {
+    def rec(frame: DataFrame, roots: Seq[(String, Column, DataType, Boolean)])
+        : Seq[(DataFrame, Seq[Leaf])] = {
+      val parts = roots.map { case (p, c, t, n) => leavesOf(p, c, t, n) }
+      val own = (frame, parts.flatMap(_._1))
+      val kids = parts.flatMap(_._2).flatMap { case (path, expr, elem, elemNullable) =>
+        rec(frame.select(explode(expr).as("__item")),
+          Seq((path, col("__item"), elem, elemNullable)))
+      }
+      own +: kids
+    }
+    rec(df, df.schema.fields.toSeq.map(f =>
+      (s"/${f.name}", col(f.name), f.dataType, f.nullable)))
+  }
+
+  private def frameEvidence(df: DataFrame, leaves: Seq[Leaf]): DataFrame = {
+    val nullLong = lit(null).cast(LongType)
+    val nullDouble = lit(null).cast(DoubleType)
+    val nullStr = lit(null).cast(StringType)
+    val aggs: Seq[Column] = count(lit(1)).as("__total") +: leaves.zipWithIndex.flatMap {
+      case (lf, i) =>
+        val e = lf.expr
+        val base = Seq(sum(when(e.isNull, 1L).otherwise(0L)).as(s"n$i"))
+        val kindAggs = lf.kind match {
+          case KInt => Seq(
+            min(e.cast(DoubleType)).as(s"mn$i"), max(e.cast(DoubleType)).as(s"mx$i"),
+            count_distinct(e).as(s"d$i"))
+          case KNum => Seq(
+            min(e.cast(DoubleType)).as(s"mn$i"), max(e.cast(DoubleType)).as(s"mx$i"),
+            count_distinct(e).as(s"d$i"),
+            bool_and(coalesce(e.cast(DoubleType) % lit(1.0d) === lit(0.0d), lit(true)))
+              .as(s"w$i"))
+          case KStr => Seq(
+            min(length(e)).cast(LongType).as(s"lmn$i"),
+            max(length(e)).cast(LongType).as(s"lmx$i"),
+            count_distinct(e).as(s"d$i"),
+            array_join(array_sort(collect_set(e)), "|").as(s"ev$i"),
+            bool_and(coalesce(e.rlike(dateRx), lit(true))).as(s"fd$i"))
+          case KBool => Seq(count_distinct(e).as(s"d$i"))
+          case KArr => Seq(
+            min(size(e)).cast(LongType).as(s"lmn$i"),
+            max(size(e)).cast(LongType).as(s"lmx$i"))
+          case KDate | KTs | KObj => Nil
+        }
+        base ++ kindAggs
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = leaves.zipWithIndex.map { case (lf, i) =>
+      val total = col("__total")
+      val nulls = col(s"n$i")
+      val nonNull = total - nulls
+      val jsonType = lf.kind match {
+        case KInt => lit("integer")
+        case KNum => when(coalesce(col(s"w$i"), lit(true)), "integer").otherwise("number")
+        case KStr | KDate | KTs => lit("string")
+        case KBool => lit("boolean")
+        case KArr => lit("array")
+        case KObj => lit("object")
+      }
+      val hasNum = lf.kind == KInt || lf.kind == KNum
+      val hasLen = lf.kind == KStr || lf.kind == KArr
+      val hasDistinct = lf.kind == KInt || lf.kind == KNum ||
+        lf.kind == KStr || lf.kind == KBool
+      val enumVals =
+        if (lf.kind == KStr)
+          when(col(s"d$i").between(1, enumMax) && nonNull > 0, col(s"ev$i"))
+            .otherwise(nullStr)
+        else nullStr
+      val fmt = lf.kind match {
+        case KDate => lit("date")
+        case KTs => lit("date-time")
+        case KStr => when(nonNull > 0 && col(s"fd$i"), "date").otherwise(nullStr)
+        case _ => nullStr
+      }
+      one.select(
+        lit(lf.path).as("path"),
+        jsonType.as("json_type"),
+        (nulls === 0 && total > 0).as("required"),
+        (if (hasNum) col(s"mn$i") else nullDouble).as("min_value"),
+        (if (hasNum) col(s"mx$i") else nullDouble).as("max_value"),
+        (if (hasLen) col(s"lmn$i") else nullLong).as("min_len"),
+        (if (hasLen) col(s"lmx$i") else nullLong).as("max_len"),
+        (if (hasDistinct) col(s"d$i") else nullLong).as("distinct_count"),
+        enumVals.as("enum_vals"),
+        fmt.as("format"))
+    }
+    rows.reduce(_.unionAll(_))
+  }
+
+  /** Infer the draft-7 schema document the corpus satisfies, as JSON. Every
+    * row of `df`, serialized with `to_json`, validates against the result
+    * (the round-trip property `SchemaInferSpec` asserts). */
+  def inferSchema(df: DataFrame): String = {
+    val ev = evidence(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // enum values re-collected exactly (the evidence CSV is display/oracle
+    // oriented; values containing '|' would corrupt a split)
+    val enumPaths = ev.collect {
+      case (p, r) if !r.isNullAt(8) => p
+    }.toSet
+    val enumsByPath: Map[String, Vector[String]] =
+      if (enumPaths.isEmpty) Map.empty
+      else frames(df).flatMap { case (frame, leaves) =>
+        leaves.filter(l => enumPaths.contains(l.path)).map { l =>
+          l.path -> frame.select(l.expr.as("v")).where(col("v").isNotNull)
+            .distinct().collect().map(_.getString(0)).sorted.toVector
+        }
+      }.toMap
+
+    def leafNode(path: String, dt: DataType): JVal = {
+      val r = ev(path)
+      val kind = scalarKind(dt)
+      val jsonType = r.getString(1)
+      val required = r.getBoolean(2)
+      val tpe: JVal =
+        if (required) JStr(jsonType) else JArr.of(JStr(jsonType), JStr("null"))
+      var fields = Vector[(String, JVal)]("type" -> tpe)
+      if ((kind == KInt || kind == KNum) && !r.isNullAt(3)) {
+        def num(d: Double): JNum =
+          if (jsonType == "integer" && d.isWhole) JNum(d.toLong) else JNum(d)
+        fields :+= "minimum" -> num(r.getDouble(3))
+        fields :+= "maximum" -> num(r.getDouble(4))
+      }
+      if (kind == KStr && !r.isNullAt(5)) {
+        fields :+= "minLength" -> JNum(r.getLong(5))
+        fields :+= "maxLength" -> JNum(r.getLong(6))
+      }
+      enumsByPath.get(path).foreach { vs =>
+        fields :+= "enum" -> JArr(vs.map(JStr(_)))
+      }
+      if (!r.isNullAt(9)) fields :+= "format" -> JStr(r.getString(9))
+      JObj(fields)
+    }
+
+    def node(path: String, dt: DataType): JVal = dt match {
+      case st: StructType =>
+        val req = st.fields.toVector
+          .filter(f => ev.get(reqPath(path, f)).exists(_.getBoolean(2)))
+          .map(f => JStr(f.name))
+        val props = st.fields.toVector.map(f =>
+          f.name -> node(s"$path/${f.name}", f.dataType))
+        JObj(Vector[(String, JVal)]("type" -> JStr("object")) ++
+          (if (req.nonEmpty) Vector("required" -> JArr(req)) else Vector.empty) :+
+          ("properties" -> JObj(props)))
+      case at: ArrayType =>
+        val r = ev(path)
+        var fields = Vector[(String, JVal)]("type" ->
+          (if (r.getBoolean(2)) JStr("array") else JArr.of(JStr("array"), JStr("null"))))
+        if (!r.isNullAt(5)) {
+          fields :+= "minItems" -> JNum(r.getLong(5))
+          fields :+= "maxItems" -> JNum(r.getLong(6))
+        }
+        fields :+= "items" -> node(s"$path/*", at.elementType)
+        JObj(fields)
+      case _ => leafNode(path, dt)
+    }
+
+    // the leaf row for a struct FIELD lives at the field's own path for
+    // scalars and arrays alike
+    def reqPath(parent: String, f: StructField): String = s"$parent/${f.name}"
+
+    val root = JObj(Vector[(String, JVal)](
+      "type" -> JStr("object"),
+      "required" -> JArr(df.schema.fields.toVector
+        .filter(f => ev.get(s"/${f.name}").exists(_.getBoolean(2)))
+        .map(f => JStr(f.name))),
+      "properties" -> JObj(df.schema.fields.toVector.map(f =>
+        f.name -> node(s"/${f.name}", f.dataType)))))
+    Json.render(root)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.engine
+
+import graft.json.Json
+import graft.validate.Validator
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Constraint suggestion: evidence rules, schema assembly, and the
+  * round-trip property (every row of the profiled corpus validates against
+  * the schema inferred from it). */
+class SchemaInferSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def evidenceMap(df: org.apache.spark.sql.DataFrame): Map[String, Row] =
+    SchemaInfer.evidence(df).collect().map(r => r.getString(0) -> r).toMap
+
+  test("evidence: types, required, bounds, enum, date format, integral narrowing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red", Some(2.0d), "2021-01-01", Some("x")),
+      (2L, "blue", Some(5.0d), "2021-06-30", None),
+      (3L, "red", None, "2022-12-31", Some("yy"))
+    ).toDF("id", "color", "ratio", "day", "note")
+    val ev = evidenceMap(df)
+
+    val id = ev("/id")
+    assert(id.getString(1) === "integer" && id.getBoolean(2))
+    assert(id.getDouble(3) === 1.0 && id.getDouble(4) === 3.0)
+
+    val color = ev("/color")
+    assert(color.getString(1) === "string" && color.getBoolean(2))
+    assert(color.getLong(5) === 3 && color.getLong(6) === 4) // len(red)/len(blue)
+    assert(color.getString(8) === "blue|red") // sorted enum CSV
+    assert(color.isNullAt(9)) // not a date
+
+    val ratio = ev("/ratio") // whole-valued doubles narrow to integer
+    assert(ratio.getString(1) === "integer" && !ratio.getBoolean(2)) // has a null
+
+    val day = ev("/day")
+    assert(day.getString(9) === "date") // every value matches the ISO shape
+
+    val note = ev("/note")
+    assert(!note.getBoolean(2) && note.getLong(5) === 1 && note.getLong(6) === 2)
+  }
+
+  test("evidence: non-whole doubles stay number; >enumMax distinct strings get no enum") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i + 0.5d, s"v$i")).toDF("x", "s")
+    val ev = evidenceMap(df)
+    assert(ev("/x").getString(1) === "number")
+    assert(ev("/s").isNullAt(8))
+    assert(ev("/s").getLong(7) === 40)
+  }
+
+  test("evidence: nested struct and array paths (docs shape)") {
+    val docs = DocTable.docs(spark, sfDir)
+    val ev = evidenceMap(docs)
+    assert(ev.keySet === Set("/doc_num", "/doc_id", "/spans",
+      "/spans/*/kind", "/spans/*/text", "/spans/*/media_ref", "/spans/*/offset"))
+    val spans = ev("/spans")
+    assert(spans.getString(1) === "array")
+    assert(spans.getLong(5) === 0 && spans.getLong(6) === 4) // minItems..maxItems
+    val kind = ev("/spans/*/kind")
+    assert(kind.getString(8) === "imag|media|text")
+    val offset = ev("/spans/*/offset")
+    assert(offset.getString(1) === "integer" && offset.getDouble(3) === -1.0)
+    assert(!ev("/spans/*/text").getBoolean(2)) // media spans carry null text
+  }
+
+  test("round trip: every doc validates against the schema inferred from the corpus") {
+    val docs = DocTable.docs(spark, sfDir).cache()
+    val schemaJson = SchemaInfer.inferSchema(docs.select("doc_id", "spans"))
+    val parsed = Json.parse(schemaJson) // the emitted document is valid JSON
+    assert(Json.render(parsed).nonEmpty)
+    val lines = docs.select(to_json(struct(col("doc_id"), col("spans"))))
+      .collect().map(_.getString(0))
+    assert(lines.nonEmpty)
+    val bad = lines.filterNot(l => Validator.validate(schemaJson, l).valid)
+    assert(bad.isEmpty, s"${bad.size} docs fail their own inferred schema: ${bad.take(3).mkString(" | ")}")
+    // and the inferred contract is TIGHT: a value outside the observed
+    // bounds / enum / required set is a violation
+    assert(!Validator.validate(schemaJson,
+      """{"doc_id":"doc-1","spans":[{"kind":"video","text":null,"media_ref":null,"offset":0}]}""").valid)
+    assert(!Validator.validate(schemaJson,
+      """{"spans":[]}""").valid) // doc_id is required (never null in corpus)
+    docs.unpersist()
+  }
+
+  test("inferred schema narrows doubles: whole-valued quantity becomes integer with bounds") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select("l_quantity", "l_returnflag")
+    val schemaJson = SchemaInfer.inferSchema(li)
+    val obj = Json.parse(schemaJson).asInstanceOf[graft.json.JObj]
+    val props = obj.get("properties").get.asInstanceOf[graft.json.JObj]
+    val qty = props.get("l_quantity").get.asInstanceOf[graft.json.JObj]
+    assert(qty.get("type").contains(graft.json.JStr("integer")))
+    assert(qty.has("minimum") && qty.has("maximum"))
+    val rf = props.get("l_returnflag").get.asInstanceOf[graft.json.JObj]
+    assert(rf.has("enum"))
+    // enum values are the exact distinct set
+    val vs = rf.get("enum").get.asInstanceOf[graft.json.JArr].items
+      .map(_.asInstanceOf[graft.json.JStr].v).toSet
+    val want = li.select("l_returnflag").distinct().collect().map(_.getString(0)).toSet
+    assert(vs === want)
+  }
+
+  test("evidence is deterministic across runs and partitionings") {
+    val docs = DocTable.docs(spark, sfDir)
+    val a = SchemaInfer.evidence(docs).collect().toSeq
+    val b = SchemaInfer.evidence(docs.repartition(7)).collect().toSeq
+    assert(a === b)
+  }
+}

@@ -29,6 +29,25 @@ object PipeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_DEDUP_REPLICATE", "100").toInt
+    // JIT compile-order hazard (measured): an op whose generated hot loop
+    // first compiles AFTER another op's has run in the same JVM can stay
+    // ~3× slower for the JVM's lifetime (qualityFilter after packChunks:
+    // 172k → 50k docs/s; immune when warmed first — profile pollution of
+    // shared framework call sites, not a plan difference). Trustworthy
+    // per-op numbers therefore need one JVM per op:
+    //   for op in split mix pack quality chunk repetition: \
+    //     SPARK_GRAFT_PIPE_OPS=$op SPARK_GRAFT_PIPE_OUT=/tmp/pipe_$op.json \
+    //     sbt "runMain graft.PipeBench"
+    // and merge the fragments. The default (all ops, one JVM) is kept for
+    // quick relative runs.
+    val opsWanted = sys.env.getOrElse("SPARK_GRAFT_PIPE_OPS",
+      "split,mix,pack,quality,chunk,repetition").split(",").map(_.trim).toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_PIPE_OUT", "pipe_bench_out.json")
+    // per-LEVEL isolation for the same reason: levels after the first in a
+    // shared JVM re-fuse new generated classes against already-polluted
+    // profiles; one JVM per (op, level) is the fully clean measurement
+    val levelsWanted = sys.env.getOrElse("SPARK_GRAFT_PIPE_LEVELS", "32,16,8,4")
+      .split(",").map(_.trim.toInt).toSeq
     val setup = session(32)
     val table = DedupBench.corpusTable(setup, sfDir, replicate)
     val n = setup.read.parquet(table).count()
@@ -65,30 +84,34 @@ object PipeBench {
           graft.engine.TextOps.repetitionSignals(docs, "doc_id", "text")
             .agg(avg("top_bigram_frac"), avg("dup_trigram_frac")).collect()
         }
-        split(); mix(); pack(); quality(); chunk(); repetition() // warm-up
-        Map(
-          "split" -> (1 to 3).map(_ => split()).min,
-          "mix" -> (1 to 3).map(_ => mix()).min,
-          "pack" -> (1 to 3).map(_ => pack()).min,
-          "quality" -> (1 to 3).map(_ => quality()).min,
-          "chunk" -> (1 to 3).map(_ => chunk()).min,
-          "repetition" -> (1 to 3).map(_ => repetition()).min)
+        val all: Seq[(String, () => Double)] = Seq(
+          "split" -> (split _), "mix" -> (mix _), "pack" -> (pack _),
+          "quality" -> (quality _), "chunk" -> (chunk _),
+          "repetition" -> (repetition _))
+        val selected = all.filter { case (name, _) => opsWanted.contains(name) }
+        selected.foreach { case (_, op) => op() } // warm-up (selected only)
+        selected.map { case (name, op) =>
+          name -> (1 to 3).map(_ => op()).min
+        }.toMap
       } finally s.stop()
     }
 
-    val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
+    val levels = levelsWanted.map(c => c -> run(c)).toMap
     val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition")
+      .filter(opsWanted.contains)
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
-      Seq(32, 16, 8, 4).flatMap { c =>
+      levelsWanted.flatMap { c =>
         ops.map(op => s""""${op}_docs_per_sec_local$c":${f"${n / levels(c)(op)}%.0f"}""")
       }.mkString(",") + "," +
-      ops.map(op =>
-        s""""${op}_efficiency_4_to_16":${f"${(levels(4)(op) / levels(16)(op)) / 4.0}%.3f"}""")
-        .mkString(",") + "}"
+      (if (levelsWanted.contains(4) && levelsWanted.contains(16))
+        ops.map(op =>
+          s""""${op}_efficiency_4_to_16":${f"${(levels(4)(op) / levels(16)(op)) / 4.0}%.3f"}""")
+          .mkString(",")
+      else s""""levels":"${levelsWanted.mkString("/")}"""") + "}"
     println(json)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("pipe_bench_out.json"), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[pipebench] write failed: $e") }
   }
 }

@@ -132,6 +132,28 @@ object SparkEntry {
     "q_infer_docs" -> ((s, dir) =>
       SchemaInfer.evidence(docs(s, dir))),
 
+    // structural (contract) drift between two snapshots: reference = even
+    // order keys, current = odd keys with injected contract breaks — a
+    // fraction pushed into an integral column (type), a new enum value, a
+    // negated price (min_value), and nulled ship dates (required)
+    "q_infer_drift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ref = li.where(col("l_orderkey") % 2 === 0)
+      val cur = li.where(col("l_orderkey") % 2 === 1)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 7 === 1, col("l_quantity") + 0.5)
+            .otherwise(col("l_quantity")))
+        .withColumn("l_returnflag",
+          when(col("l_orderkey") % 11 === 1, lit("Z")).otherwise(col("l_returnflag")))
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 13 === 1, -col("l_extendedprice"))
+            .otherwise(col("l_extendedprice")))
+        .withColumn("l_shipdate",
+          when(col("l_orderkey") % 17 === 1, lit(null).cast("timestamp"))
+            .otherwise(col("l_shipdate")))
+      SchemaInfer.evidenceDiff(SchemaInfer.evidence(ref), SchemaInfer.evidence(cur))
+    }),
+
     "q_drift_bins" -> ((s, dir) =>
       Checks.driftBins(
         s.read.parquet(s"$dir/events.parquet"),
@@ -778,6 +800,18 @@ object SparkEntry {
          |    CAST(NULL AS BIGINT) AS distinct_count,
          |    CAST(NULL AS VARCHAR) AS enum_vals, 'date-time' AS format
          |  FROM $from""".stripMargin
+    def lineitemEv(from: String) = Seq(
+      inferInt("/l_orderkey", from, "l_orderkey"),
+      inferInt("/l_partkey", from, "l_partkey"),
+      inferInt("/l_suppkey", from, "l_suppkey"),
+      inferInt("/l_linenumber", from, "l_linenumber"),
+      inferNum("/l_quantity", from, "l_quantity"),
+      inferNum("/l_extendedprice", from, "l_extendedprice"),
+      inferNum("/l_discount", from, "l_discount"),
+      inferNum("/l_tax", from, "l_tax"),
+      inferStr("/l_returnflag", from, "l_returnflag"),
+      inferStr("/l_linestatus", from, "l_linestatus"),
+      inferTs("/l_shipdate", from, "l_shipdate")).mkString("\nUNION ALL\n")
     Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
@@ -914,21 +948,61 @@ object SparkEntry {
           |    MIN(value), MAX(value), COUNT(DISTINCT value) FROM events
           |) ORDER BY "column"""".stripMargin,
 
-      "q_infer_lineitem" -> {
-        val branches = Seq(
-          inferInt("/l_orderkey", "lineitem", "l_orderkey"),
-          inferInt("/l_partkey", "lineitem", "l_partkey"),
-          inferInt("/l_suppkey", "lineitem", "l_suppkey"),
-          inferInt("/l_linenumber", "lineitem", "l_linenumber"),
-          inferNum("/l_quantity", "lineitem", "l_quantity"),
-          inferNum("/l_extendedprice", "lineitem", "l_extendedprice"),
-          inferNum("/l_discount", "lineitem", "l_discount"),
-          inferNum("/l_tax", "lineitem", "l_tax"),
-          inferStr("/l_returnflag", "lineitem", "l_returnflag"),
-          inferStr("/l_linestatus", "lineitem", "l_linestatus"),
-          inferTs("/l_shipdate", "lineitem", "l_shipdate"))
-        s"SELECT * FROM (\n${branches.mkString("\nUNION ALL\n")}\n) ORDER BY path"
-      },
+      "q_infer_lineitem" ->
+        s"SELECT * FROM (\n${lineitemEv("lineitem")}\n) ORDER BY path",
+
+      // the evidence rules recomputed over BOTH snapshot halves, then the
+      // diff rules recomputed over the two evidence tables
+      "q_infer_drift" ->
+        s"""WITH liref AS (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0),
+           |licur AS (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+           |    CASE WHEN l_orderkey % 7 = 1 THEN l_quantity + 0.5 ELSE l_quantity END AS l_quantity,
+           |    CASE WHEN l_orderkey % 13 = 1 THEN -l_extendedprice ELSE l_extendedprice END AS l_extendedprice,
+           |    l_discount, l_tax,
+           |    CASE WHEN l_orderkey % 11 = 1 THEN 'Z' ELSE l_returnflag END AS l_returnflag,
+           |    l_linestatus,
+           |    CASE WHEN l_orderkey % 17 = 1 THEN NULL ELSE l_shipdate END AS l_shipdate
+           |  FROM lineitem WHERE l_orderkey % 2 = 1),
+           |refev AS (
+           |${lineitemEv("liref")}
+           |), curev AS (
+           |${lineitemEv("licur")}
+           |), j AS (
+           |  SELECT r.path AS rpath, c.path AS cpath, r.json_type AS rt, c.json_type AS ct,
+           |    r.required AS rreq, c.required AS creq,
+           |    r.min_value AS rmin, c.min_value AS cmin, r.max_value AS rmax, c.max_value AS cmax,
+           |    r.min_len AS rminl, c.min_len AS cminl, r.max_len AS rmaxl, c.max_len AS cmaxl,
+           |    r.enum_vals AS re, c.enum_vals AS ce, r.format AS rf, c.format AS cf
+           |  FROM refev r FULL OUTER JOIN curev c ON r.path = c.path)
+           |SELECT * FROM (
+           |  SELECT COALESCE(rpath, cpath) AS path, 'added' AS aspect,
+           |    CAST(NULL AS DOUBLE) AS ref_num, CAST(NULL AS DOUBLE) AS cur_num,
+           |    CAST(NULL AS VARCHAR) AS ref_str, ct AS cur_str FROM j WHERE rpath IS NULL
+           |  UNION ALL SELECT COALESCE(rpath, cpath), 'removed',
+           |    CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rt, CAST(NULL AS VARCHAR)
+           |    FROM j WHERE cpath IS NULL
+           |  UNION ALL SELECT rpath, 'type', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rt, ct
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND rt <> ct
+           |  UNION ALL SELECT rpath, 'required', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           |    CAST(rreq AS VARCHAR), CAST(creq AS VARCHAR)
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND rreq <> creq
+           |  UNION ALL SELECT rpath, 'min_value', rmin, cmin, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND cmin < rmin
+           |  UNION ALL SELECT rpath, 'max_value', rmax, cmax, CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND cmax > rmax
+           |  UNION ALL SELECT rpath, 'min_len', CAST(rminl AS DOUBLE), CAST(cminl AS DOUBLE),
+           |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND cminl < rminl
+           |  UNION ALL SELECT rpath, 'max_len', CAST(rmaxl AS DOUBLE), CAST(cmaxl AS DOUBLE),
+           |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL AND cmaxl > rmaxl
+           |  UNION ALL SELECT rpath, 'enum', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), re, ce
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL
+           |      AND re IS DISTINCT FROM ce AND (re IS NOT NULL OR ce IS NOT NULL)
+           |  UNION ALL SELECT rpath, 'format', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), rf, cf
+           |    FROM j WHERE rpath IS NOT NULL AND cpath IS NOT NULL
+           |      AND rf IS NOT NULL AND cf IS DISTINCT FROM rf
+           |) ORDER BY path, aspect""".stripMargin,
 
       "q_infer_docs" -> {
         val spansArr =

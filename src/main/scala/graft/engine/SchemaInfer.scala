@@ -177,6 +177,57 @@ object SchemaInfer {
     rows.reduce(_.unionAll(_))
   }
 
+  /** Structural drift between two snapshots' evidence tables (the contract
+    * counterpart of [[Checks.ksDrift]]'s distribution drift): one row per
+    * (path, aspect) where the CURRENT snapshot breaks out of the REFERENCE
+    * snapshot's inferred contract —
+    *  - `added` / `removed`: path present in only one side
+    *  - `type`: JSON type changed (e.g. an integral column saw fractions)
+    *  - `required`: nullability changed in either direction
+    *  - `min_value` / `max_value`: current range exceeds the reference range
+    *  - `min_len` / `max_len`: string/array bounds exceeded likewise
+    *  - `enum`: the low-cardinality value set changed (incl. enum lost)
+    *  - `format`: a detected format no longer holds
+    * Output: (path, aspect, ref_num, cur_num, ref_str, cur_str) — numeric
+    * aspects carry doubles, the rest strings; both evidence frames are
+    * path-counted tiny, so the join is driver-trivial at any corpus size. */
+  def evidenceDiff(refEv: DataFrame, curEv: DataFrame): DataFrame = {
+    val r = refEv.select(refEv.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
+    val c = curEv.select(curEv.columns.map(c2 => col(c2).as(s"c_$c2")).toSeq: _*)
+    val j = r.join(c, col("r_path") === col("c_path"), "full_outer")
+    val path = coalesce(col("r_path"), col("c_path"))
+    val nd = lit(null).cast(DoubleType)
+    val ns = lit(null).cast(StringType)
+    def row(aspect: String, cond: Column,
+        rn: Column, cn: Column, rs: Column, cs: Column): DataFrame =
+      j.where(cond).select(path.as("path"), lit(aspect).as("aspect"),
+        rn.cast(DoubleType).as("ref_num"), cn.cast(DoubleType).as("cur_num"),
+        rs.cast(StringType).as("ref_str"), cs.cast(StringType).as("cur_str"))
+    val both = col("r_path").isNotNull && col("c_path").isNotNull
+    Seq(
+      row("added", col("r_path").isNull, nd, nd, ns, col("c_json_type")),
+      row("removed", col("c_path").isNull, nd, nd, col("r_json_type"), ns),
+      row("type", both && col("r_json_type") =!= col("c_json_type"),
+        nd, nd, col("r_json_type"), col("c_json_type")),
+      row("required", both && col("r_required") =!= col("c_required"),
+        nd, nd, col("r_required"), col("c_required")),
+      row("min_value", both && col("c_min_value") < col("r_min_value"),
+        col("r_min_value"), col("c_min_value"), ns, ns),
+      row("max_value", both && col("c_max_value") > col("r_max_value"),
+        col("r_max_value"), col("c_max_value"), ns, ns),
+      row("min_len", both && col("c_min_len") < col("r_min_len"),
+        col("r_min_len"), col("c_min_len"), ns, ns),
+      row("max_len", both && col("c_max_len") > col("r_max_len"),
+        col("r_max_len"), col("c_max_len"), ns, ns),
+      row("enum", both && !(col("r_enum_vals") <=> col("c_enum_vals")) &&
+          (col("r_enum_vals").isNotNull || col("c_enum_vals").isNotNull),
+        nd, nd, col("r_enum_vals"), col("c_enum_vals")),
+      row("format", both && col("r_format").isNotNull &&
+          !(col("c_format") <=> col("r_format")),
+        nd, nd, col("r_format"), col("c_format")))
+      .reduce(_.unionAll(_)).orderBy("path", "aspect")
+  }
+
   /** Infer the draft-7 schema document the corpus satisfies, as JSON. Every
     * row of `df`, serialized with `to_json`, validates against the result
     * (the round-trip property `SchemaInferSpec` asserts). */

@@ -106,6 +106,35 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(vs === want)
   }
 
+  test("evidenceDiff: identity is empty; each contract break surfaces as its aspect") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "red", 10.0d, Some("2021-01-01")),
+      (2L, "blue", 20.0d, Some("2021-06-30"))
+    ).toDF("id", "color", "score", "day")
+    // drifted current snapshot: fractions in an integral column (type),
+    // new enum value + longer string (enum, max_len), values above range
+    // (max_value), nulls in a required column (required), a new column
+    // (added)
+    val cur = Seq(
+      (1L, "red", 10.5d, Some("2021-01-01"), 1),
+      (3L, "green", 99.0d, None, 2)
+    ).toDF("id", "color", "score", "day", "extra")
+    val refEv = SchemaInfer.evidence(ref)
+    val curEv = SchemaInfer.evidence(cur)
+    assert(SchemaInfer.evidenceDiff(refEv, refEv).count() === 0)
+    val d = SchemaInfer.evidenceDiff(refEv, curEv).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(d.contains(("/extra", "added")))
+    assert(d.contains(("/score", "type")))      // integer -> number
+    assert(d.contains(("/score", "max_value"))) // 99 > 20
+    assert(d.contains(("/color", "enum")))      // green joined the set
+    assert(d.contains(("/color", "max_len")))   // len(green)=5 > 4
+    assert(d.contains(("/day", "required")))    // a null appeared
+    assert(d.contains(("/id", "max_value"))) // cur id 3 exceeds ref [1,2]
+    assert(!d.contains(("/day", "format")))  // non-null days still ISO-shaped
+  }
+
   test("evidence is deterministic across runs and partitionings") {
     val docs = DocTable.docs(spark, sfDir)
     val a = SchemaInfer.evidence(docs).collect().toSeq

@@ -78,6 +78,13 @@ object DedupBench {
     // sized 64·minShared per the operator's documented cost model.
     val winReplicate = sys.env.getOrElse("SPARK_GRAFT_WINNOW_REPLICATE",
       math.max(1, replicate / 5).toString).toInt
+    // one JVM per op (and optionally per level) for trustworthy numbers —
+    // the JIT compile-order hazard PipeBench documents applies here too
+    val opsWanted = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OPS",
+      "exact,minhash,simhash,winnow,spans").split(",").map(_.trim).toSeq
+    val levelsWanted = sys.env.getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "32,16,8,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OUT", "dedup_bench_out.json")
     val setup = session(32)
     val table = corpusTable(setup, sfDir, replicate)
     val winTable = corpusTable(setup, sfDir, winReplicate)
@@ -110,7 +117,8 @@ object DedupBench {
           "spans" -> (() => {
             Dedup.dupSpans(docs, "doc_id", "text", k = 20).count(); ()
           }))
-        ops.map { case (name, op) =>
+        ops.filter { case (name, _) => opsWanted.contains(name) }
+          .map { case (name, op) =>
           val warmT = time(op()) // warm
           graft.engine.Caches.releaseAll()
           System.err.println(f"[dedupbench] local[$cpus] $name warm ${warmT}%.1f s")
@@ -124,21 +132,24 @@ object DedupBench {
     }
 
     val opNames = Seq("exact", "minhash", "simhash", "winnow", "spans")
-    val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
+      .filter(opsWanted.contains)
+    val levels = levelsWanted.map(c => c -> run(c)).toMap
     def opDocs(o: String): Long = if (o == "winnow") winN else n
     val json =
       s"""{"docs":$n,"replicate":$replicate,"winnow_docs":$winN,""" +
       s""""winnow_replicate":$winReplicate,"sf":"$sfDir",""" +
-      Seq(32, 16, 8, 4).flatMap { c =>
+      levelsWanted.flatMap { c =>
         opNames.map(o =>
           s""""${o}_docs_per_sec_local$c":${f"${opDocs(o) / levels(c)(o)}%.0f"}""")
       }.mkString(",") + "," +
-      opNames.map(o =>
-        s""""${o}_efficiency_4_to_16":${f"${(levels(4)(o) / levels(16)(o)) / 4.0}%.3f"}""")
-        .mkString(",") + "}"
+      (if (levelsWanted.contains(4) && levelsWanted.contains(16))
+        opNames.map(o =>
+          s""""${o}_efficiency_4_to_16":${f"${(levels(4)(o) / levels(16)(o)) / 4.0}%.3f"}""")
+          .mkString(",")
+      else s""""levels":"${levelsWanted.mkString("/")}"""") + "}"
     println(json)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("dedup_bench_out.json"), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[dedupbench] write failed: $e") }
   }
 }

@@ -134,6 +134,12 @@ object SchemaInfer {
         }
         base ++ kindAggs
     }
+    // NOTE deliberately NOT collapsed into one materialized aggregation:
+    // per-branch column pruning specializes each leaf's aggregate to a
+    // narrow 1-2 column scan with a single count_distinct — measured
+    // FASTER than one fused agg, whose many exact count_distincts force
+    // an Expand (input × distinct-groups row multiplication) through one
+    // shuffle (lineitem sf0.1: ~0.8 s pruned-branches vs ~4 s fused).
     val one = df.agg(aggs.head, aggs.tail: _*)
     val rows = leaves.zipWithIndex.map { case (lf, i) =>
       val total = col("__total")
@@ -191,41 +197,100 @@ object SchemaInfer {
     * Output: (path, aspect, ref_num, cur_num, ref_str, cur_str) — numeric
     * aspects carry doubles, the rest strings; both evidence frames are
     * path-counted tiny, so the join is driver-trivial at any corpus size. */
-  def evidenceDiff(refEv: DataFrame, curEv: DataFrame): DataFrame = {
-    val r = refEv.select(refEv.columns.map(c => col(c).as(s"r_$c")).toSeq: _*)
-    val c = curEv.select(curEv.columns.map(c2 => col(c2).as(s"c_$c2")).toSeq: _*)
-    val j = r.join(c, col("r_path") === col("c_path"), "full_outer")
-    val path = coalesce(col("r_path"), col("c_path"))
-    val nd = lit(null).cast(DoubleType)
-    val ns = lit(null).cast(StringType)
-    def row(aspect: String, cond: Column,
-        rn: Column, cn: Column, rs: Column, cs: Column): DataFrame =
-      j.where(cond).select(path.as("path"), lit(aspect).as("aspect"),
-        rn.cast(DoubleType).as("ref_num"), cn.cast(DoubleType).as("cur_num"),
-        rs.cast(StringType).as("ref_str"), cs.cast(StringType).as("cur_str"))
-    val both = col("r_path").isNotNull && col("c_path").isNotNull
-    Seq(
-      row("added", col("r_path").isNull, nd, nd, ns, col("c_json_type")),
-      row("removed", col("c_path").isNull, nd, nd, col("r_json_type"), ns),
-      row("type", both && col("r_json_type") =!= col("c_json_type"),
-        nd, nd, col("r_json_type"), col("c_json_type")),
-      row("required", both && col("r_required") =!= col("c_required"),
-        nd, nd, col("r_required"), col("c_required")),
-      row("min_value", both && col("c_min_value") < col("r_min_value"),
-        col("r_min_value"), col("c_min_value"), ns, ns),
-      row("max_value", both && col("c_max_value") > col("r_max_value"),
-        col("r_max_value"), col("c_max_value"), ns, ns),
-      row("min_len", both && col("c_min_len") < col("r_min_len"),
-        col("r_min_len"), col("c_min_len"), ns, ns),
-      row("max_len", both && col("c_max_len") > col("r_max_len"),
-        col("r_max_len"), col("c_max_len"), ns, ns),
-      row("enum", both && !(col("r_enum_vals") <=> col("c_enum_vals")) &&
-          (col("r_enum_vals").isNotNull || col("c_enum_vals").isNotNull),
-        nd, nd, col("r_enum_vals"), col("c_enum_vals")),
-      row("format", both && col("r_format").isNotNull &&
-          !(col("c_format") <=> col("r_format")),
-        nd, nd, col("r_format"), col("c_format")))
-      .reduce(_.unionAll(_)).orderBy("path", "aspect")
+  def evidenceDiff(refEv: DataFrame, curEv: DataFrame): DataFrame =
+    diffRows(refEv, curEv, breaksOnly = false)
+
+  /** Direction-aware variant for continuous monitoring: flags only rows
+    * that BREAK OUT of the reference contract, never rows where the
+    * current population is a strict subset of it (a micro-batch usually
+    * is). Concretely vs [[evidenceDiff]]: `type` accepts integral current
+    * values under a `number` contract; `required` fires only when nulls
+    * APPEAR under a required contract; `enum` fires only on values outside
+    * the reference set (or when the current set outgrew the enum cap). */
+  def contractBreaks(refEv: DataFrame, curEv: DataFrame): DataFrame =
+    diffRows(refEv, curEv, breaksOnly = true)
+
+  private def diffRows(refEv: DataFrame, curEv: DataFrame,
+      breaksOnly: Boolean): DataFrame = {
+    // Both evidence tables are one row per schema path — always tiny — so
+    // the diff runs entirely on the driver over the collected rows. The
+    // distributed formulation (a union of ten aspect-filtered joins) paid
+    // one Spark job of overhead PER ASPECT and, without an explicit
+    // materialization, re-executed the corpus aggregation behind each
+    // branch (measured 10.9 s vs ~0.1 s here for the sf0.1 drift query).
+    import org.apache.spark.sql.Row
+    val spark = refEv.sparkSession
+    def byPath(df: DataFrame): Map[String, Row] =
+      df.collect().map(r => r.getString(0) -> r).toMap
+    val rm = byPath(refEv)
+    val cm = byPath(curEv)
+    def dOpt(r: Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
+    def lOpt(r: Row, i: Int): Option[Long] =
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    def sOpt(r: Row, i: Int): Option[String] =
+      if (r.isNullAt(i)) None else Some(r.getString(i))
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    def emit(path: String, aspect: String, rn: Option[Double], cn: Option[Double],
+        rs: Option[String], cs: Option[String]): Unit =
+      out += Row(path, aspect, rn.orNull, cn.orNull, rs.orNull, cs.orNull)
+    (rm.keySet ++ cm.keySet).toSeq.sorted.foreach { path =>
+      (rm.get(path), cm.get(path)) match {
+        case (None, Some(c)) =>
+          emit(path, "added", None, None, None, Some(c.getString(1)))
+        case (Some(r), None) =>
+          emit(path, "removed", None, None, Some(r.getString(1)), None)
+        case (Some(r), Some(c)) =>
+          val (rt, ct) = (r.getString(1), c.getString(1))
+          val typeDrift =
+            if (breaksOnly)
+              // integer is a subset of number: integral current values
+              // under a `number` contract are in-contract
+              rt != ct && !(rt == "number" && ct == "integer")
+            else rt != ct
+          if (typeDrift) emit(path, "type", None, None, Some(rt), Some(ct))
+          val (rreq, creq) = (r.getBoolean(2), c.getBoolean(2))
+          val reqDrift =
+            if (breaksOnly) rreq && !creq else rreq != creq
+          if (reqDrift) emit(path, "required", None, None,
+            Some(rreq.toString), Some(creq.toString))
+          for (rv <- dOpt(r, 3); cv <- dOpt(c, 3); if cv < rv)
+            emit(path, "min_value", Some(rv), Some(cv), None, None)
+          for (rv <- dOpt(r, 4); cv <- dOpt(c, 4); if cv > rv)
+            emit(path, "max_value", Some(rv), Some(cv), None, None)
+          for (rv <- lOpt(r, 5); cv <- lOpt(c, 5); if cv < rv)
+            emit(path, "min_len", Some(rv.toDouble), Some(cv.toDouble), None, None)
+          for (rv <- lOpt(r, 6); cv <- lOpt(c, 6); if cv > rv)
+            emit(path, "max_len", Some(rv.toDouble), Some(cv.toDouble), None, None)
+          val (re, ce) = (sOpt(r, 8), sOpt(c, 8))
+          val enumDrift =
+            if (breaksOnly)
+              // outside values appeared, or the set outgrew the enum cap
+              re.exists { rvs =>
+                ce.forall(cvs =>
+                  (cvs.split("\\|").toSet -- rvs.split("\\|").toSet).nonEmpty)
+              }
+            else re != ce && (re.nonEmpty || ce.nonEmpty)
+          if (enumDrift) emit(path, "enum", None, None, re, ce)
+          val (rf, cf) = (sOpt(r, 9), sOpt(c, 9))
+          val curHasValues = lOpt(c, 7).forall(_ > 0)
+          // breaks-only: an all-null batch column carries no format
+          // evidence either way — don't flag "format lost" on absence
+          val formatDrift = rf.nonEmpty && cf != rf &&
+            (!breaksOnly || curHasValues)
+          if (formatDrift) emit(path, "format", None, None, rf, cf)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("aspect", StringType, nullable = false),
+      StructField("ref_num", DoubleType, nullable = true),
+      StructField("cur_num", DoubleType, nullable = true),
+      StructField("ref_str", StringType, nullable = true),
+      StructField("cur_str", StringType, nullable = true)))
+    val sorted = out.sortBy(r => (r.getString(0), r.getString(1)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(sorted.toSeq: _*), schema)
   }
 
   /** Infer the draft-7 schema document the corpus satisfies, as JSON. Every

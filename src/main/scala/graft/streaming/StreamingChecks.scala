@@ -185,4 +185,27 @@ object StreamingChecks {
           PartitionCounts(part, p, f)
       }
   }
+
+  /** Continuous contract monitoring: per micro-batch, profile the batch
+    * ([[graft.engine.SchemaInfer.evidence]] — a schema-bounded aggregate,
+    * NOT per-row state) and report only rows that BREAK the reference
+    * contract ([[graft.engine.SchemaInfer.contractBreaks]]): a batch whose
+    * values are a strict subset of the contract raises nothing; new enum
+    * values, out-of-range numbers, appearing nulls, or new columns raise
+    * their aspect rows. `onBreaks(batchId, rows)` runs on the driver per
+    * offending batch; the break frame is path-counted tiny. Start the
+    * returned writer (`.start()`) like any sink. */
+  def contractMonitor(stream: DataFrame, refEvidence: DataFrame)(
+      onBreaks: (Long, Seq[org.apache.spark.sql.Row]) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // an empty batch carries no evidence (its `required` would read
+        // false everywhere) — skip rather than false-alarm
+        if (!batch.isEmpty) {
+          val breaks = graft.engine.SchemaInfer.contractBreaks(
+            refEvidence, graft.engine.SchemaInfer.evidence(batch)).collect()
+          if (breaks.nonEmpty) onBreaks(batchId, breaks.toIndexedSeq)
+        }
+    }
 }

@@ -135,6 +135,36 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(!d.contains(("/day", "format")))  // non-null days still ISO-shaped
   }
 
+  test("contractBreaks: subset populations raise nothing; only out-of-contract rows fire") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "red", 1.5d, Some("x")),
+      (50L, "blue", 9.0d, None) // note has a null -> NOT required in contract
+    ).toDF("id", "color", "score", "note")
+    val refEv = SchemaInfer.evidence(ref).cache()
+    // a strict subset batch: fewer enum values, tighter range, integral
+    // score under the number contract, no nulls in the nullable column —
+    // note the string values must come from the reference sets (every
+    // low-cardinality string column infers an enum contract)
+    val subset = Seq((2L, "red", 3.0d, Some("x"))).toDF("id", "color", "score", "note")
+    assert(SchemaInfer.contractBreaks(refEv, SchemaInfer.evidence(subset)).count() === 0)
+    // the symmetric audit DOES see those as differences
+    assert(SchemaInfer.evidenceDiff(refEv, SchemaInfer.evidence(subset)).count() > 0)
+    // out-of-contract batch: new enum value, value above range, null in a
+    // required column
+    val breaking = Seq(
+      (99L, "green", 2.5d, Some("z")),
+      (3L, null.asInstanceOf[String], 2.5d, Some("w"))
+    ).toDF("id", "color", "score", "note")
+    val b = SchemaInfer.contractBreaks(refEv, SchemaInfer.evidence(breaking))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(b.contains(("/id", "max_value")))    // 99 > 50
+    assert(b.contains(("/color", "enum")))      // green outside {blue, red}
+    assert(b.contains(("/color", "required")))  // a null appeared
+    assert(!b.exists(_._1 == "/score"))         // in-range, subset types
+    refEv.unpersist()
+  }
+
   test("evidence is deterministic across runs and partitionings") {
     val docs = DocTable.docs(spark, sfDir)
     val a = SchemaInfer.evidence(docs).collect().toSeq

@@ -215,4 +215,32 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed === batch)
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("contractMonitor flags only micro-batches that break the reference contract") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference snapshot -> contract evidence
+    val ref = Seq((1L, "red", 1.0d), (50L, "blue", 9.5d)).toDF("id", "color", "score")
+    val refEv = graft.engine.SchemaInfer.evidence(ref).cache()
+    refEv.count()
+    val input = MemoryStream[(Long, String, Double)]
+    val reported = scala.collection.mutable.ArrayBuffer[(Long, Set[(String, String)])]()
+    val q = StreamingChecks.contractMonitor(
+        input.toDF().toDF("id", "color", "score"), refEv) { (batchId, rows) =>
+      reported.synchronized {
+        reported += batchId -> rows.map(r => (r.getString(0), r.getString(1))).toSet
+      }
+    }.start()
+    try {
+      input.addData((2L, "red", 3.5d)) // strict subset: silent
+      q.processAllAvailable()
+      assert(reported.isEmpty, s"conforming batch reported: $reported")
+      input.addData((99L, "green", 3.5d)) // new enum value + above range
+      q.processAllAvailable()
+      assert(reported.size === 1)
+      val aspects = reported.head._2
+      assert(aspects.contains(("/id", "max_value")))
+      assert(aspects.contains(("/color", "enum")))
+    } finally { q.stop(); refEv.unpersist() }
+  }
 }

@@ -646,6 +646,46 @@ object SparkEntry {
       val corpus = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
         .unionByName(Seq((-999L, "buy now " * 30)).toDF("doc_id", "text"))
       Pipeline.qualityFilter(corpus, "doc_id", "text").orderBy("doc_id")
+    }),
+
+    // CCNet-style line-level boilerplate scrub. The corpus has no newlines,
+    // so template chrome is injected deterministically: two boilerplate
+    // variants that normalize (case + whitespace collapse) to the same
+    // line, wrapped around the unique doc bodies — the classic
+    // header/footer shape line dedup exists to kill.
+    "q_line_scrub" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val corpus = d.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("Subscribe to our newsletter!\n"), col("text"),
+            lit("\nCopyright Example  Corp ALL rights reserved")))
+          .when(col("doc_id") % 3 === 1,
+            concat(col("text"), lit("\ncopyright example corp all rights reserved")))
+          .otherwise(col("text")).as("text"))
+      Dedup.scrubBoilerplateLines(corpus, "doc_id", "text", minDocs = 50)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style importance resampling toward the English slice of the
+    // corpus, with injected off-distribution spam in the raw side (the
+    // synthetic corpus draws one shared vocabulary, so without the
+    // injection target and raw marginals would coincide and every weight
+    // would sit at ~0). Spam docs carry vocabulary absent from the target
+    // → strongly negative weights → rejected by the logistic draw.
+    // `selected` compares the hash draw against the UNROUNDED weight; only
+    // the reported column is rounded.
+    "q_importance_weights" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val raw = d.select("doc_id", "text").unionByName(
+        d.where(col("doc_id") % 11 === 0).select(
+          (-col("doc_id") - 9000).as("doc_id"),
+          lit("win big casino jackpot now free spins bonus").as("text")))
+      Pipeline.importanceResample(raw, d.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 256, seed = 13, salt = 5)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("logw"), 6).as("logw"), col("selected"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1788,7 +1828,66 @@ object SparkEntry {
            |  UNION ALL SELECT -999, repeat('buy now ', 30)),
            |$qualityRulesCtes
            |SELECT doc_id, CAST(tok AS INTEGER) AS tokens, reasons, (reasons = '') AS keep
-           |FROM rules ORDER BY doc_id""".stripMargin
+           |FROM rules ORDER BY doc_id""".stripMargin,
+
+      // line-scrub mirror: the same boilerplate injection, lines split on
+      // chr(10) with zipped positions, the frequent set counted over
+      // DISTINCT (normalized-line md5, doc) pairs, and the kept text
+      // re-joined in line order (string_agg skips the NULLs of removed
+      // lines exactly as concat-after-transform skips them engine-side)
+      "q_line_scrub" ->
+        s"""WITH corpus AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 3 = 0 THEN 'Subscribe to our newsletter!' || chr(10) || text || chr(10) || 'Copyright Example  Corp ALL rights reserved'
+           |         WHEN doc_id % 3 = 1 THEN text || chr(10) || 'copyright example corp all rights reserved'
+           |         ELSE text END AS text
+           |  FROM documents),
+           |l0 AS (SELECT doc_id, string_split(COALESCE(text, ''), chr(10)) AS ls FROM corpus),
+           |lines AS (SELECT doc_id, unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS pos FROM l0),
+           |n AS (SELECT doc_id, pos, line,
+           |    md5(lower(regexp_replace(trim(line), '\\s+', ' ', 'g'))) AS fp
+           |  FROM lines),
+           |f AS (SELECT fp FROM (SELECT DISTINCT fp, doc_id FROM n WHERE trim(line) <> '')
+           |      GROUP BY fp HAVING COUNT(*) >= 50),
+           |fl AS (SELECT n.doc_id, n.pos, n.line, (f.fp IS NOT NULL) AS freq
+           |       FROM n LEFT JOIN f ON f.fp = n.fp)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           |  CAST(SUM(CASE WHEN freq THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           |  COALESCE(string_agg(CASE WHEN NOT freq THEN line END, chr(10) ORDER BY pos), '') AS kept_text
+           |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+      // importance-resampling mirror: every stage recomputed — token
+      // bucketing via the HashSql hash64 mirror, add-one-smoothed bin
+      // marginals for the target (lang = 'en') and raw corpora, the
+      // per-doc Σ c·ln-ratio weight, and the logistic acceptance against
+      // the salted id-hash draw (compared on the UNROUNDED weight, as the
+      // engine does)
+      "q_importance_weights" ->
+        s"""WITH raw AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -doc_id - 9000, 'win big casino jackpot now free spins bonus'
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |ttok0 AS (SELECT doc_id,
+           |    unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+           |  FROM documents WHERE lang = 'en'),
+           |tok0 AS (SELECT doc_id,
+           |    unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS tok
+           |  FROM raw),
+           |tok AS (SELECT doc_id, ${HashSql.bucket("'dsir:' || tok", 13, 256)} AS b
+           |  FROM tok0 WHERE tok <> ''),
+           |tc AS (SELECT ${HashSql.bucket("'dsir:' || tok", 13, 256)} AS b, COUNT(*) AS c
+           |  FROM ttok0 WHERE tok <> '' GROUP BY 1),
+           |rc AS (SELECT b, COUNT(*) AS c FROM tok GROUP BY 1),
+           |tot AS (SELECT (SELECT COALESCE(SUM(c), 0) FROM tc) AS tt,
+           |               (SELECT COALESCE(SUM(c), 0) FROM rc) AS rt),
+           |lr AS (SELECT rc.b,
+           |    ln((COALESCE(tc.c, 0) + 1.0) / (tot.tt + 256)) - ln((rc.c + 1.0) / (tot.rt + 256)) AS lr
+           |  FROM rc LEFT JOIN tc USING (b), tot),
+           |dc AS (SELECT doc_id, b, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+           |w AS (SELECT doc_id, SUM(c) AS n_toks, SUM(c * lr.lr) AS logw
+           |  FROM dc JOIN lr USING (b) GROUP BY 1)
+           |SELECT doc_id, CAST(n_toks AS BIGINT) AS n_toks, ROUND(logw, 6) AS logw,
+           |  (${HashSql.bucket("'dsir-sel:' || CAST(doc_id AS VARCHAR)", 5, 1000000)} / 1000000.0)
+           |    < (1.0 / (1.0 + exp(-logw))) AS selected
+           |FROM w ORDER BY doc_id""".stripMargin
     )
   }
 }

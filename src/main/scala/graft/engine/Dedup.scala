@@ -473,6 +473,54 @@ object Dedup {
       .toDF("doc_id", "n_tokens", "dup_tokens", "kept_text")
   }
 
+  /** Line-level boilerplate scrub (CCNet / RefinedWeb style): lines whose
+    * normalized form (trim → whitespace-collapse → lowercase) recurs in at
+    * least `minDocs` DISTINCT documents are removed from every document —
+    * the standard kill for cookie banners, nav menus, copyright footers and
+    * other template chrome that survives document-level dedup because the
+    * surrounding text differs.
+    *
+    * Scale shape: one `posexplode` over lines (output bounded by corpus
+    * bytes), the frequent-line set via two partial-friendly aggregates
+    * (DISTINCT (fingerprint, doc) then a count per fingerprint — distinct
+    * docs, not occurrences, so one spammy doc repeating its own line can't
+    * promote it to boilerplate), a join back on the 128-bit line
+    * fingerprint (the frequent set is ≤ total_lines / minDocs rows and
+    * shrinks as minDocs grows — AQE broadcasts it), and one per-doc
+    * reassembly aggregate. Lines travel the frequency stages as md5
+    * fingerprints, never as text. Blank lines are exempt (paragraph
+    * structure survives). The final per-doc rebuild sorts each doc's kept
+    * lines (`array_sort` + `transform` over an array bounded by doc
+    * length — an interpreted HOF, but over n_docs result rows, not per
+    * line). Output per doc: (doc_id, n_lines, n_removed, kept_text) with
+    * original line text and order preserved. */
+  def scrubBoilerplateLines(
+      docs: DataFrame, idCol: String, textCol: String,
+      minDocs: Long = 50): DataFrame = {
+    require(minDocs >= 2, "a line must recur across docs to be boilerplate")
+    val lines = docs
+      .select(col(idCol).cast(LongType).as("id"),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n")).as(Seq("pos", "line")))
+      .withColumn("fp", TextOps.fingerprint(col("line")))
+    val frequent = lines
+      .where(trim(col("line")) =!= "")
+      .select("fp", "id").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("fp"), lit(true).as("freq"))
+    lines.join(frequent, Seq("fp"), "left")
+      .withColumn("freq", coalesce(col("freq"), lit(false)))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("freq"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!col("freq"), struct(col("pos"), col("line"))))),
+            x => x.getField("line")),
+          "\n").as("kept_text"))
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"), col("kept_text"))
+  }
+
   /** Winnowing near-dup pairs: each doc's winnowing fingerprints
     * ([[TextOps.winnowingFingerprints]]) explode into an inverted index
     * (fingerprint → ids); docs sharing ≥ `minShared` fingerprints are

@@ -278,6 +278,65 @@ object Pipeline {
       .select("doc_id", "text", "tokens", "reasons", "keep")
   }
 
+  /** DSIR-style importance resampling (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling"): score every raw document
+    * by how target-like its hashed-unigram distribution is, then accept
+    * docs with a deterministic hash draw against the logistic of that
+    * score. Features are whitespace unigrams hashed into `buckets` bins
+    * (the hashed n-gram feature space of the paper); the bin-marginal
+    * probabilities of the target and raw corpora are add-one smoothed, and
+    * a doc's log importance weight is Σ_b c_db · [ln p̂_target(b) −
+    * ln p̂_raw(b)] over its bin counts c_db.
+    *
+    * Scale shape: the bin tables are two partial-friendly count aggregates
+    * down to `buckets` rows collected on the driver (bounded ≤ 2²⁰ —
+    * constant-size regardless of corpus scale, the [[packChunks]] phase-1
+    * move); the log-ratio table joins back broadcast; per-doc scoring is
+    * one (id, bucket) count aggregate over the exploded tokens plus a
+    * per-id sum. The raw corpus is deliberately scanned twice (marginals,
+    * then per-doc counts) rather than persisting the token frame — at
+    * 10¹² docs the token explode is re-computable scan work, while caching
+    * it would spill a corpus-sized intermediate. Acceptance randomness is
+    * the salted id-hash draw of [[mixtureSample]], so re-runs agree exactly
+    * and the DuckDB oracle can replay every stage. Docs with no tokens emit
+    * no row. Output: (doc_id, n_toks, logw, selected). */
+  def importanceResample(
+      raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 512, seed: Int = 13, salt: Int = 0): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 20),
+      "the bucket-marginal table is collected driver-side; keep it small")
+    val spark = raw.sparkSession
+    def toks(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast(LongType).as("id"),
+          explode(split(trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
+            "\\s+", " ")), " ")).as("tok"))
+        .where(col("tok") =!= "")
+        .select(col("id"), expressions.Hash64Functions.hashBucketCol(
+          concat(lit("dsir:"), col("tok")), seed, buckets).as("b"))
+    def marginals(df: DataFrame): Map[Long, Long] =
+      toks(df).groupBy("b").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tCounts = marginals(target)
+    val rCounts = marginals(raw)
+    val tTot = tCounts.values.sum.toDouble
+    val rTot = rCounts.values.sum.toDouble
+    val lr = (0L until buckets.toLong).map { b =>
+      (b, math.log((tCounts.getOrElse(b, 0L) + 1.0) / (tTot + buckets)) -
+        math.log((rCounts.getOrElse(b, 0L) + 1.0) / (rTot + buckets)))
+    }
+    val lrDf = spark.createDataFrame(lr).toDF("b", "lr")
+    val logw = col("logw")
+    val u = expressions.Hash64Functions.hashBucketCol(
+      concat(lit("dsir-sel:"), col("id").cast(StringType)), salt, 1000000)
+      .cast(DoubleType) / 1000000.0
+    toks(raw).groupBy("id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lrDf), Seq("b"))
+      .groupBy("id")
+      .agg(sum("c").as("n_toks"), sum(col("c") * col("lr")).as("logw"))
+      .select(col("id").as("doc_id"), col("n_toks"), logw,
+        (u < lit(1.0) / (lit(1.0) + exp(-logw))).as("selected"))
+  }
+
   /** The artifacts of one [[curate]] run, all lazy. */
   final case class Curation(
       curated: DataFrame, // (doc_id, text, bucket, split) — kept + canonical

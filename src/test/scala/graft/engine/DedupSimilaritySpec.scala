@@ -192,4 +192,59 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .select(col("expect"), TextOps.langId(col("text")).as("pred")).collect()
     probe.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
+
+  test("line scrub: recurring normalized lines removed, unique lines and order survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "HEADER  Line\nbody one\nfooter"),
+      (2L, "header line\nbody two\nfooter"),
+      (3L, "header line\nbody three"),
+      (4L, "solo document"),
+      (5L, "footer\nheader line"), // boilerplate-only doc
+      (6L, "body one") // body dup in only 2 docs < minDocs
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplateLines(corpus, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    // "header line" normalizes identically in docs 1,2,3,5 (case +
+    // double-space variant included); "footer" is in 1,2,5 — both ≥ 3 docs
+    assert(out(1L) === ((3L, 2L, "body one")))
+    assert(out(2L) === ((3L, 2L, "body two")))
+    assert(out(3L) === ((2L, 1L, "body three")))
+    assert(out(4L) === ((1L, 0L, "solo document")))
+    assert(out(5L) === ((2L, 2L, "")))
+    assert(out(6L) === ((1L, 0L, "body one")))
+  }
+
+  test("line scrub: one doc repeating its own line is not boilerplate; blank lines exempt") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "spam\nspam\nspam\nspam\nunique a"), // same line 4x within ONE doc
+      (2L, "unique b\n\nunique c"),
+      (3L, "\n\nunique d"),
+      (4L, "\nunique e")
+    ).toDF("doc_id", "text")
+    val out = Dedup.scrubBoilerplateLines(corpus, "doc_id", "text", minDocs = 3)
+    val m = out.collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(m(1L) === "spam\nspam\nspam\nspam\nunique a")
+    assert(m(2L) === "unique b\n\nunique c")
+    assert(m(3L) === "\n\nunique d") // blank lines recur in 3 docs, still kept
+    assert(m(4L) === "\nunique e")
+    assert(out.where(col("n_removed") > 0).count() === 0)
+  }
+
+  test("line scrub: minDocs is a sharp distinct-doc threshold; partition-independent") {
+    import spark.implicits._
+    val corpus = (1L to 20L).map { i =>
+      val footer = if (i <= 5) "shared footer\n" else ""
+      (i, s"${footer}doc body $i")
+    }.toDF("doc_id", "text")
+    val scrubbed = Dedup.scrubBoilerplateLines(corpus, "doc_id", "text", minDocs = 5)
+    assert(scrubbed.where(col("n_removed") > 0).count() === 5)
+    assert(scrubbed.where(col("doc_id") === 3L).head.getString(3) === "doc body 3")
+    val kept = Dedup.scrubBoilerplateLines(corpus, "doc_id", "text", minDocs = 6)
+    assert(kept.where(col("n_removed") > 0).count() === 0)
+    val b = Dedup.scrubBoilerplateLines(corpus.repartition(7), "doc_id", "text", minDocs = 5)
+    assert(scrubbed.collect().toSet === b.collect().toSet)
+  }
 }

@@ -54,6 +54,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(scanSchema.contains("ReadSchema: struct<doc_id:bigint>"), scanSchema.take(400))
   }
 
+  test("importanceResample separates target-like from off-target docs; acceptance follows the draw") {
+    val tgt = (1L to 30L).map(i => (i, "apple banana " * 10)).toDF("doc_id", "text")
+    val raw = ((1L to 20L).map(i => (100 + i, "apple banana apple banana apple")) ++
+      (1L to 20L).map(i => (200 + i, "zebra quux zebra quux zebra"))).toDF("doc_id", "text")
+    val out = Pipeline.importanceResample(raw, tgt, "doc_id", "text",
+      buckets = 64, seed = 3, salt = 1)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.length === 40)
+    assert(rows.forall(_._2 === 5L)) // every probe doc has 5 tokens
+    val targetLike = rows.filter(_._1 <= 120).map(_._3)
+    val offTarget = rows.filter(_._1 > 200).map(_._3)
+    assert(targetLike.min > 0.0 && offTarget.max < 0.0,
+      s"weights must separate: ${targetLike.min} vs ${offTarget.max}")
+    // the acceptance bit IS the salted hash draw against the logistic of
+    // the (unrounded) weight — recomputed driver-side per doc
+    rows.foreach { case (id, _, logw, sel) =>
+      val u = Pipeline.bucketOf(Dedup.hash64(s"dsir-sel:$id", 1), 1000000L) / 1e6
+      assert(sel === (u < 1.0 / (1.0 + math.exp(-logw))), s"id=$id logw=$logw")
+    }
+    // the bin-ratio table joins back broadcast — the per-doc side never
+    // shuffles against a bucket table at any corpus scale
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("importanceResample: tokenless docs emit no row; result is partition-independent") {
+    val tgt = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val raw = Seq((10L, "x y"), (11L, ""), (12L, "   "),
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Pipeline.importanceResample(raw, tgt, "doc_id", "text", buckets = 32)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L))
+    val b = Pipeline.importanceResample(raw.repartition(5), tgt, "doc_id", "text", buckets = 32)
+    assert(b.collect().toSet === out.collect().toSet)
+  }
+
   test("mixtureSample honors per-source rates exactly at the 0/1 extremes") {
     val d = docs.select(col("doc_id"), col("source"))
     val kept = Pipeline.mixtureSample(d, "doc_id", "source",

@@ -41,7 +41,8 @@ object PipeBench {
     // and merge the fragments. The default (all ops, one JVM) is kept for
     // quick relative runs.
     val opsWanted = sys.env.getOrElse("SPARK_GRAFT_PIPE_OPS",
-      "split,mix,pack,quality,chunk,repetition").split(",").map(_.trim).toSeq
+      "split,mix,pack,quality,chunk,repetition,linescrub,dsir")
+      .split(",").map(_.trim).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PIPE_OUT", "pipe_bench_out.json")
     // per-LEVEL isolation for the same reason: levels after the first in a
     // shared JVM re-fuse new generated classes against already-polluted
@@ -84,10 +85,32 @@ object PipeBench {
           graft.engine.TextOps.repetitionSignals(docs, "doc_id", "text")
             .agg(avg("top_bigram_frac"), avg("dup_trigram_frac")).collect()
         }
+        // the replicated corpus has no newlines — inject the same
+        // header/footer chrome shape the oracled query uses, so the bench
+        // exercises the full explode → frequency → join → rebuild path
+        def linescrub(): Double = time {
+          val multi = docs.select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(3)) === 0,
+              concat(lit("subscribe to our newsletter\n"), col("text"),
+                lit("\nall rights reserved")))
+              .when(pmod(col("doc_id"), lit(3)) === 1,
+                concat(col("text"), lit("\nall rights reserved")))
+              .otherwise(col("text")).as("text"))
+          graft.engine.Dedup.scrubBoilerplateLines(multi, "doc_id", "text", minDocs = 50)
+            .agg(count(lit(1)), sum("n_removed")).collect()
+        }
+        def dsir(): Double = time {
+          Pipeline.importanceResample(docs,
+              docs.where(pmod(col("doc_id"), lit(20)) === 0),
+              "doc_id", "text", buckets = 512)
+            .agg(count(lit(1)),
+              sum(when(col("selected"), 1L).otherwise(0L))).collect()
+        }
         val all: Seq[(String, () => Double)] = Seq(
           "split" -> (split _), "mix" -> (mix _), "pack" -> (pack _),
           "quality" -> (quality _), "chunk" -> (chunk _),
-          "repetition" -> (repetition _))
+          "repetition" -> (repetition _), "linescrub" -> (linescrub _),
+          "dsir" -> (dsir _))
         val selected = all.filter { case (name, _) => opsWanted.contains(name) }
         selected.foreach { case (_, op) => op() } // warm-up (selected only)
         selected.map { case (name, op) =>
@@ -97,8 +120,8 @@ object PipeBench {
     }
 
     val levels = levelsWanted.map(c => c -> run(c)).toMap
-    val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition")
-      .filter(opsWanted.contains)
+    val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition",
+      "linescrub", "dsir").filter(opsWanted.contains)
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
       levelsWanted.flatMap { c =>

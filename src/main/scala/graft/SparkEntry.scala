@@ -368,6 +368,18 @@ object SparkEntry {
         maxBucket = 512)
     }),
 
+    // SemDeDup semantic-dedup verdict over the same twin-injected corpus:
+    // the injected twin (larger id) is dropped, its original survives
+    "q_semdedup" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val twins = emb.where(col("vec_id") % 100 === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+      Similarity.semDedup(emb.unionByName(twins), threshold = 0.99, bits = 4,
+          maxBucket = 512)
+        .orderBy("vec_id")
+    }),
+
     // mixed-kind corpus validated via the broadcast schema registry
     // (per-row schema dispatch, column-compiled when expressible)
     "q_registry_verdicts" -> ((s, dir) => {
@@ -1409,6 +1421,27 @@ object SparkEntry {
            |  FROM b q JOIN ok USING (bucket)
            |       JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id, $cosineLateral)
            |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+      // SemDeDup mirror: the cosine-neardups pair CTEs verbatim, then the
+      // keep verdict = "no smaller-id neighbor at >= threshold"
+      "q_semdedup" ->
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000, [x * CAST(1.0005 AS REAL) for x in embedding]
+           |  FROM embeddings WHERE vec_id % 100 = 0),
+           |s AS (SELECT $srpSigns4 AS m),
+           |b AS (SELECT vec_id, embedding, ${srpBucketSql("embedding")} AS bucket
+           |      FROM corpus, s),
+           |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING COUNT(*) <= 512),
+           |pairs AS (
+           |  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           |    ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+           |  FROM b q JOIN ok USING (bucket)
+           |       JOIN b c ON q.bucket = c.bucket AND q.vec_id < c.vec_id, $cosineLateral),
+           |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= 0.99)
+           |SELECT c.vec_id, (d.vec_id IS NULL) AS kept
+           |FROM corpus c LEFT JOIN dropped d USING (vec_id) ORDER BY c.vec_id""".stripMargin,
 
       "q_registry_verdicts" ->
         """SELECT doc_id,

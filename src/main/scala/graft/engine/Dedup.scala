@@ -492,8 +492,12 @@ object Dedup {
     * structure survives). The final per-doc rebuild sorts each doc's kept
     * lines (`array_sort` + `transform` over an array bounded by doc
     * length — an interpreted HOF, but over n_docs result rows, not per
-    * line). Output per doc: (doc_id, n_lines, n_removed, kept_text) with
-    * original line text and order preserved. */
+    * line). The line frame is deliberately COMPUTED TWICE (frequency pass,
+    * then join-back) rather than persisted: the explode is re-computable
+    * scan work, while caching it would spill a corpus-sized intermediate —
+    * the same two-pass trade as [[Pipeline.importanceResample]]. Output
+    * per doc: (doc_id, n_lines, n_removed, kept_text) with original line
+    * text and order preserved. */
   def scrubBoilerplateLines(
       docs: DataFrame, idCol: String, textCol: String,
       minDocs: Long = 50): DataFrame = {

@@ -221,6 +221,30 @@ object Similarity {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup verdict (Abbas et al., "SemDeDup: Data-
+    * efficient learning at web-scale through semantic deduplication"): a
+    * vector is DROPPED iff some smaller-id vector in its SRP bucket has
+    * cosine ≥ `threshold` to it — the min-id representative of every
+    * semantic group survives, including across chains (a~b, b~c drops both
+    * b and c even when a!~c; the published method's "keep one per group of
+    * mutually-similar points", made deterministic by id order). The
+    * cluster structure is the SRP bucketing rather than trained k-means —
+    * the deterministic, SQL-mirrorable scale path ([[cosineNearDups]]'s
+    * cap discipline applies: vectors in skew-dropped buckets are never
+    * dropped). One extra shuffle over the pair stage: the distinct dropped
+    * set left-joins the id projection. Output: (vec_id, kept). */
+  def semDedup(
+      corpus: DataFrame, threshold: Double, bits: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame = {
+    val dropped = cosineNearDups(corpus, threshold, bits, idCol, vecCol, maxBucket)
+      .select(col("id_b").as("vec_id")).distinct()
+      .withColumn("_d", lit(true))
+    corpus.select(col(idCol).cast(LongType).as("vec_id"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("_d").isNull.as("kept"))
+  }
+
   /** Count of SRP buckets above the [[cosineNearDups]] skew cap — derived
     * from the same srpFrame hashing that does the pruning, so the metric
     * describes the buckets actually dropped. */

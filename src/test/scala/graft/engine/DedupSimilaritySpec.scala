@@ -193,6 +193,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     probe.foreach(r => assert(r.getString(0) === r.getString(1)))
   }
 
+  test("semDedup: injected twins dropped, originals kept; verdict covers the corpus") {
+    val twins = emb.where(col("vec_id") % 100 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+    val corpus = emb.unionByName(twins)
+    val out = Similarity.semDedup(corpus, threshold = 0.99, bits = 4, maxBucket = 512)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out.size.toLong === corpus.count()) // one verdict per vector
+    val twinIds = twins.select("vec_id").collect().map(_.getLong(0))
+    assert(twinIds.nonEmpty)
+    twinIds.foreach { t =>
+      assert(!out(t), s"twin $t has a smaller-id near-dup, must be dropped")
+      assert(out(t - 1000000), s"original ${t - 1000000} is its group's min id, must survive")
+    }
+    // random embeddings are mutually near-orthogonal: nothing else drops
+    assert(out.count(!_._2) === twinIds.length)
+  }
+
   test("line scrub: recurring normalized lines removed, unique lines and order survive") {
     import spark.implicits._
     val corpus = Seq(

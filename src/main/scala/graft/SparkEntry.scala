@@ -660,6 +660,23 @@ object SparkEntry {
       Pipeline.qualityFilter(corpus, "doc_id", "text").orderBy("doc_id")
     }),
 
+    // CCNet-style hashed-bigram LM perplexity scoring: the model trains on
+    // the English slice; injected spam (vocabulary the reference never
+    // produces) scores high-perplexity and is dropped
+    "q_lm_perplexity" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val raw = d.select("doc_id", "text").unionByName(
+        d.where(col("doc_id") % 11 === 0).select(
+          (-col("doc_id") - 9000).as("doc_id"),
+          lit("win big casino jackpot now free spins bonus").as("text")))
+      Pipeline.lmPerplexity(raw, d.where(col("lang") === "en"),
+          "doc_id", "text", buckets = 128, seed = 29, keepBelow = 150.0)
+        .select(col("doc_id"), col("n_toks"),
+          round(col("ppl"), 6).as("ppl"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style line-level boilerplate scrub. The corpus has no newlines,
     // so template chrome is injected deterministically: two boilerplate
     // variants that normalize (case + whitespace collapse) to the same
@@ -1862,6 +1879,42 @@ object SparkEntry {
            |$qualityRulesCtes
            |SELECT doc_id, CAST(tok AS INTEGER) AS tokens, reasons, (reasons = '') AS keep
            |FROM rules ORDER BY doc_id""".stripMargin,
+
+      // perplexity mirror: reference bigram pairs via LAG over zipped
+      // token positions, add-one transition probabilities recomputed with
+      // context counts summed from the bigram counts, per-doc mean via
+      // the same LEFT-JOIN smoothing for unseen bigrams/contexts
+      "q_lm_perplexity" -> {
+        val bkt = HashSql.bucket("'lm:' || tok", 29, 128)
+        s"""WITH raw AS (SELECT doc_id, text FROM documents
+           |  UNION ALL SELECT -doc_id - 9000, 'win big casino jackpot now free spins bonus'
+           |  FROM documents WHERE doc_id % 11 = 0),
+           |rt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS ts
+           |  FROM documents WHERE lang = 'en'),
+           |rtok AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM rt),
+           |rb AS (SELECT doc_id, pos, $bkt AS b FROM rtok WHERE tok <> ''),
+           |rpair AS (SELECT prev, b AS cur FROM
+           |    (SELECT doc_id, pos, b, LAG(b) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM rb)
+           |  WHERE prev IS NOT NULL),
+           |c2 AS (SELECT prev, cur, COUNT(*) AS c FROM rpair GROUP BY 1, 2),
+           |c1 AS (SELECT prev, SUM(c) AS c FROM c2 GROUP BY 1),
+           |dt AS (SELECT doc_id, string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ') AS ts
+           |  FROM raw),
+           |dtok AS (SELECT doc_id, unnest(ts) AS tok, unnest(range(1, len(ts) + 1)) AS pos FROM dt),
+           |db AS (SELECT doc_id, pos, $bkt AS b FROM dtok WHERE tok <> ''),
+           |dpair AS (SELECT doc_id, prev, b AS cur FROM
+           |    (SELECT doc_id, pos, b, LAG(b) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM db)
+           |  WHERE prev IS NOT NULL),
+           |terms AS (SELECT d.doc_id,
+           |    ln((COALESCE(c2.c, 0) + 1.0) / (COALESCE(c1.c, 0) + 128)) AS t
+           |  FROM dpair d LEFT JOIN c2 ON c2.prev = d.prev AND c2.cur = d.cur
+           |               LEFT JOIN c1 ON c1.prev = d.prev),
+           |w AS (SELECT doc_id, COUNT(*) AS np, SUM(t) AS s FROM terms GROUP BY 1),
+           |n AS (SELECT doc_id, COUNT(*) AS n_toks FROM db GROUP BY 1)
+           |SELECT w.doc_id, CAST(n.n_toks AS BIGINT) AS n_toks,
+           |  ROUND(exp(-w.s / w.np), 6) AS ppl, (exp(-w.s / w.np) <= 150.0) AS keep
+           |FROM w JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
+      },
 
       // line-scrub mirror: the same boilerplate injection, lines split on
       // chr(10) with zipped positions, the frequent set counted over

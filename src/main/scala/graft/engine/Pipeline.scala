@@ -291,21 +291,29 @@ object Pipeline {
     * Scale shape: the bin tables are two partial-friendly count aggregates
     * down to `buckets` rows collected on the driver (bounded ≤ 2²⁰ —
     * constant-size regardless of corpus scale, the [[packChunks]] phase-1
-    * move); the log-ratio table joins back broadcast; per-doc scoring is
-    * one (id, bucket) count aggregate over the exploded tokens plus a
-    * per-id sum. The raw corpus is deliberately scanned twice (marginals,
-    * then per-doc counts) rather than persisting the token frame — at
-    * 10¹² docs the token explode is re-computable scan work, while caching
-    * it would spill a corpus-sized intermediate. Acceptance randomness is
-    * the salted id-hash draw of [[mixtureSample]], so re-runs agree exactly
-    * and the DuckDB oracle can replay every stage. Docs with no tokens emit
-    * no row. Output: (doc_id, n_toks, logw, selected). */
+    * move); the log-ratio table then rides back as a BROADCAST ARRAY into
+    * one doc-local typed projection that tokenizes, bucket-counts and
+    * folds Σ c·lr[b] per doc with ZERO shuffles — the per-doc weight never
+    * needed a (id, bucket) exchange, the same "count locally, never
+    * shuffle the grams" move as [[TextOps.repetitionSignals]] (measured
+    * ~8× over the groupBy-join-groupBy formulation at 500k docs, which
+    * shuffled the exploded token frame twice). The per-doc fold runs in
+    * ascending bucket order, so the weight is bit-identical across runs
+    * AND partitionings. The raw corpus is deliberately scanned twice
+    * (marginals, then scoring) rather than persisting the token frame —
+    * at 10¹² docs the token explode is re-computable scan work, while
+    * caching it would spill a corpus-sized intermediate. Acceptance
+    * randomness is the salted id-hash draw of [[mixtureSample]], so
+    * re-runs agree exactly and the DuckDB oracle can replay every stage.
+    * Docs with no tokens emit no row. Output: (doc_id, n_toks, logw,
+    * selected). */
   def importanceResample(
       raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
       buckets: Int = 512, seed: Int = 13, salt: Int = 0): DataFrame = {
     require(buckets > 0 && buckets <= (1 << 20),
       "the bucket-marginal table is collected driver-side; keep it small")
     val spark = raw.sparkSession
+    import spark.implicits._
     def toks(df: DataFrame): DataFrame =
       df.select(col(idCol).cast(LongType).as("id"),
           explode(split(trim(regexp_replace(lower(coalesce(col(textCol), lit(""))),
@@ -320,22 +328,124 @@ object Pipeline {
     val rCounts = marginals(raw)
     val tTot = tCounts.values.sum.toDouble
     val rTot = rCounts.values.sum.toDouble
-    val lr = (0L until buckets.toLong).map { b =>
-      (b, math.log((tCounts.getOrElse(b, 0L) + 1.0) / (tTot + buckets)) -
-        math.log((rCounts.getOrElse(b, 0L) + 1.0) / (rTot + buckets)))
+    val lrArr = Array.tabulate(buckets) { b =>
+      math.log((tCounts.getOrElse(b.toLong, 0L) + 1.0) / (tTot + buckets)) -
+        math.log((rCounts.getOrElse(b.toLong, 0L) + 1.0) / (rTot + buckets))
     }
-    val lrDf = spark.createDataFrame(lr).toDF("b", "lr")
-    val logw = col("logw")
-    val u = expressions.Hash64Functions.hashBucketCol(
-      concat(lit("dsir-sel:"), col("id").cast(StringType)), salt, 1000000)
-      .cast(DoubleType) / 1000000.0
-    toks(raw).groupBy("id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(lrDf), Seq("b"))
-      .groupBy("id")
-      .agg(sum("c").as("n_toks"), sum(col("c") * col("lr")).as("logw"))
-      .select(col("id").as("doc_id"), col("n_toks"), logw,
-        (u < lit(1.0) / (lit(1.0) + exp(-logw))).as("selected"))
+    val bcLr = spark.sparkContext.broadcast(lrArr)
+    val nBuckets = buckets
+    raw.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val lr = bcLr.value
+        iter.flatMap { case (id, t0) =>
+          val t = t0.toLowerCase.replaceAll("\\s+", " ").trim
+          if (t.isEmpty) Iterator.empty
+          else {
+            val tokens = t.split(" ")
+            val counts = new java.util.TreeMap[Long, Long]() // ascending-bucket fold
+            tokens.foreach { tok =>
+              val b = bucketOf(Dedup.mix64(
+                Dedup.md5Base(md, "dsir:" + tok) + seed * Dedup.golden), nBuckets)
+              counts.merge(b, 1L, java.lang.Long.sum)
+            }
+            var logw = 0.0
+            counts.forEach((b, c) => logw += c * lr(b.toInt))
+            val u = bucketOf(Dedup.mix64(
+              Dedup.md5Base(md, "dsir-sel:" + id) + salt * Dedup.golden), 1000000L) / 1e6
+            Iterator.single((id, tokens.length.toLong, logw,
+              u < 1.0 / (1.0 + math.exp(-logw))))
+          }
+        }
+      }
+      .toDF("doc_id", "n_toks", "logw", "selected")
   }
+
+  /** CCNet-style LM-perplexity quality scoring (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data" —
+    * there a KenLM 5-gram; here a hashed-BIGRAM model, the same
+    * bounded-feature move as [[importanceResample]]): train add-one-
+    * smoothed bigram transition probabilities over hashed token buckets
+    * from a reference ("good") corpus, then score every raw doc with its
+    * per-bigram perplexity `exp(−mean ln p(b_i | b_{i−1}))`. Low
+    * perplexity = reference-like text; boilerplate/spam with bigrams the
+    * reference never produces scores high and is dropped.
+    *
+    * Scale shape: ONE partial-friendly count aggregate over the
+    * reference's hashed bigram pairs (bounded ≤ buckets² ≤ 2²⁰ rows,
+    * collected driver-side; context counts derive from it by summation),
+    * then the ln-probability table broadcasts as a plain array into a
+    * doc-local ZERO-SHUFFLE typed scoring projection — sequential in-doc
+    * fold, bit-identical across runs and partitionings. Docs with < 2
+    * tokens have no bigram evidence and emit no row.
+    * Output: (doc_id, n_toks, ppl, keep) with keep = ppl ≤ keepBelow
+    * compared on the unrounded value. */
+  def lmPerplexity(
+      raw: DataFrame, reference: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 128, seed: Int = 29, keepBelow: Double = 150.0): DataFrame = {
+    require(buckets > 0 && buckets <= 1024,
+      "the bigram table is buckets^2 driver-side cells; keep it small")
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val nB = buckets
+    val theSeed = seed
+    // reference bigram counts: one typed flatMap to pair indices, one
+    // partial-agg count down to <= buckets^2 rows, collected driver-side
+    val c2 = reference.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.flatMap { case (_, t0) =>
+          val bs = lmTokens(t0).map(lmBucket(md, _, theSeed, nB))
+          (1 until bs.length).iterator.map(i => bs(i - 1).toLong * nB + bs(i))
+        }
+      }
+      .toDF("p").groupBy("p").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val c1 = Array.fill(nB)(0L) // context counts = sum of outgoing bigrams
+    c2.foreach { case (p, c) => c1((p / nB).toInt) += c }
+    val lnP = Array.tabulate(nB * nB) { p =>
+      math.log((c2.getOrElse(p.toLong, 0L) + 1.0) / (c1(p / nB) + nB))
+    }
+    val bcLnP = spark.sparkContext.broadcast(lnP)
+    raw.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val lp = bcLnP.value
+        iter.flatMap { case (id, t0) =>
+          val bs = lmTokens(t0).map(lmBucket(md, _, theSeed, nB))
+          if (bs.length < 2) Iterator.empty
+          else {
+            var s = 0.0
+            var i = 1
+            while (i < bs.length) { s += lp(bs(i - 1) * nB + bs(i)); i += 1 }
+            val ppl = math.exp(-s / (bs.length - 1))
+            Iterator.single((id, bs.length.toLong, ppl, ppl <= keepBelow))
+          }
+        }
+      }
+      .toDF("doc_id", "n_toks", "ppl", "keep")
+  }
+
+  /** Whitespace tokens of trim/collapse/lowercase-normalized text —
+    * object-level (NOT a local def inside [[lmPerplexity]]) so executor
+    * closures call it through the module instead of capturing the
+    * enclosing method scope, which is not serializable. */
+  private def lmTokens(t0: String): Array[String] = {
+    val t = t0.toLowerCase.replaceAll("\\s+", " ").trim
+    if (t.isEmpty) Array.empty else t.split(" ")
+  }
+
+  /** [[lmPerplexity]]'s hashed token bucket: `hash64("lm:" + tok, seed)
+    * mod buckets` — identical to the HashSql mirror the oracle replays. */
+  private def lmBucket(
+      md: java.security.MessageDigest, tok: String, seed: Int, nB: Int): Int =
+    bucketOf(Dedup.mix64(Dedup.md5Base(md, "lm:" + tok) + seed * Dedup.golden), nB).toInt
 
   /** The artifacts of one [[curate]] run, all lazy. */
   final case class Curation(

@@ -74,10 +74,42 @@ class PipelineSpec extends AnyFunSuite {
       val u = Pipeline.bucketOf(Dedup.hash64(s"dsir-sel:$id", 1), 1000000L) / 1e6
       assert(sel === (u < 1.0 / (1.0 + math.exp(-logw))), s"id=$id logw=$logw")
     }
-    // the bin-ratio table joins back broadcast — the per-doc side never
-    // shuffles against a bucket table at any corpus scale
+    // per-doc scoring is doc-local with the bin-ratio table broadcast as a
+    // plain array — the scoring plan has NO shuffle at any corpus scale
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("lmPerplexity: reference-like text scores low, alien vocabulary scores high") {
+    val ref = (1L to 40L).map(i => (i,
+      ("the cat sat on the mat " +
+        (if (i % 2 == 0) "and the dog ran away " else "while the bird flew by ")) * 2))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (100L, "the cat sat on the mat while the dog ran away"),
+      (200L, "zxq vvk wqz jjx qqv zxq vvk wqz jjx qqv"),
+      (300L, "one") // single token: no bigram evidence, no row
+    ).toDF("doc_id", "text")
+    val out = Pipeline.lmPerplexity(raw, ref, "doc_id", "text",
+      buckets = 64, seed = 7, keepBelow = 50.0)
+    val rows = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.map(_._1).toSet === Set(100L, 200L))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(100L)._3 < byId(200L)._3,
+      s"in-vocab ${byId(100L)._3} must beat alien ${byId(200L)._3}")
+    rows.foreach(r => assert(r._4 === (r._3 <= 50.0))) // keep is the threshold verdict
+    // scoring is one doc-local typed projection — no shuffle in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    // bit-exact under repartitioning (sequential in-doc fold)
+    val b = Pipeline.lmPerplexity(raw.repartition(5), ref, "doc_id", "text",
+      buckets = 64, seed = 7, keepBelow = 50.0)
+    assert(b.collect().toSet === out.collect().toSet)
+    // no reference evidence → uniform add-one model → ppl = buckets exactly
+    val uni = Pipeline.lmPerplexity(raw, ref.where(lit(false)), "doc_id", "text",
+      buckets = 64, seed = 7)
+    uni.collect().foreach(r => assert(math.abs(r.getDouble(2) - 64.0) < 1e-9))
   }
 
   test("importanceResample: tokenless docs emit no row; result is partition-independent") {

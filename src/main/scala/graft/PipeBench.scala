@@ -41,7 +41,7 @@ object PipeBench {
     // and merge the fragments. The default (all ops, one JVM) is kept for
     // quick relative runs.
     val opsWanted = sys.env.getOrElse("SPARK_GRAFT_PIPE_OPS",
-      "split,mix,pack,quality,chunk,repetition,linescrub,dsir")
+      "split,mix,pack,quality,chunk,repetition,linescrub,dsir,ppl")
       .split(",").map(_.trim).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PIPE_OUT", "pipe_bench_out.json")
     // per-LEVEL isolation for the same reason: levels after the first in a
@@ -106,11 +106,17 @@ object PipeBench {
             .agg(count(lit(1)),
               sum(when(col("selected"), 1L).otherwise(0L))).collect()
         }
+        def ppl(): Double = time {
+          Pipeline.lmPerplexity(docs,
+              docs.where(pmod(col("doc_id"), lit(20)) === 0),
+              "doc_id", "text", buckets = 128)
+            .agg(count(lit(1)), avg("ppl")).collect()
+        }
         val all: Seq[(String, () => Double)] = Seq(
           "split" -> (split _), "mix" -> (mix _), "pack" -> (pack _),
           "quality" -> (quality _), "chunk" -> (chunk _),
           "repetition" -> (repetition _), "linescrub" -> (linescrub _),
-          "dsir" -> (dsir _))
+          "dsir" -> (dsir _), "ppl" -> (ppl _))
         val selected = all.filter { case (name, _) => opsWanted.contains(name) }
         selected.foreach { case (_, op) => op() } // warm-up (selected only)
         selected.map { case (name, op) =>
@@ -121,7 +127,7 @@ object PipeBench {
 
     val levels = levelsWanted.map(c => c -> run(c)).toMap
     val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition",
-      "linescrub", "dsir").filter(opsWanted.contains)
+      "linescrub", "dsir", "ppl").filter(opsWanted.contains)
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
       levelsWanted.flatMap { c =>

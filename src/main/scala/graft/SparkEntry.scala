@@ -677,6 +677,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RefinedWeb-style per-source cap: top-7 longest docs per source via
+    // the two-phase salted window (exact per-key top-k with bounded
+    // partitions; salts=4 exercises the real two-phase path on the
+    // 25-doc-per-source corpus).
+    "q_source_caps" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "n_chars")
+      Pipeline.capPerSource(d, "doc_id", "source", "n_chars",
+          maxPerSource = 7, salts = 4)
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style line-level boilerplate scrub. The corpus has no newlines,
     // so template chrome is injected deterministically: two boilerplate
     // variants that normalize (case + whitespace collapse) to the same
@@ -1915,6 +1927,15 @@ object SparkEntry {
            |  ROUND(exp(-w.s / w.np), 6) AS ppl, (exp(-w.s / w.np) <= 150.0) AS keep
            |FROM w JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
       },
+
+      // per-source-cap mirror: the two-phase salted selection is exactly
+      // the plain per-source top-k, so the oracle is the single window
+      "q_source_caps" ->
+        s"""SELECT doc_id, source, n_chars, src_rank FROM (
+           |  SELECT doc_id, source, n_chars,
+           |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS src_rank
+           |  FROM documents) t
+           |WHERE src_rank <= 7 ORDER BY doc_id""".stripMargin,
 
       // line-scrub mirror: the same boilerplate injection, lines split on
       // chr(10) with zipped positions, the frequent set counted over

@@ -90,6 +90,39 @@ object Pipeline {
     docs.where(mixb < (rateCol * 1000000.0).cast(LongType))
   }
 
+  /** RefinedWeb-style per-source cap: keep at most `maxPerSource` docs per
+    * source (domain), preferring `orderCol` DESCENDING with ascending id as
+    * the deterministic tiebreak, and emit the kept rows with their in-source
+    * rank (`src_rank`, 1-based). Exact per-key top-k WITHOUT a per-source
+    * window over raw rows: phase 1 ranks inside (source, id-hash salt)
+    * sub-partitions — each holding ~1/`salts` of its source — and keeps the
+    * local top `maxPerSource`; phase 2 re-ranks only the ≤ salts·maxPerSource
+    * survivors per source. Exactness: a row dropped in phase 1 has ≥
+    * maxPerSource surviving rows ordered above it in its OWN sub-partition,
+    * so (a) it cannot be in the global top k and (b) every kept row's
+    * survivor rank equals its global rank — a kept row with a dropped row
+    * above it would inherit that row's ≥ maxPerSource better survivors and
+    * rank past k itself (spec-differentialed against the single-window
+    * form). The giant-domain skew case (one host = half the corpus) thus
+    * costs only bounded windows — the packChunks two-phase discipline
+    * applied to per-key top-k. */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+      orderCol: String, maxPerSource: Int, salts: Int = 64): DataFrame = {
+    require(maxPerSource > 0, "maxPerSource must be positive")
+    require(salts > 0, "salts must be positive")
+    val ord = Seq(col(orderCol).desc, col(idCol).asc)
+    val saltCol = expressions.Hash64Functions.hashBucketCol(
+      concat(lit("cap:"), col(idCol).cast(LongType).cast(StringType)), 0, salts)
+    val w1 = Window.partitionBy(col(sourceCol), col("_cap_salt")).orderBy(ord: _*)
+    val w2 = Window.partitionBy(col(sourceCol)).orderBy(ord: _*)
+    docs.withColumn("_cap_salt", saltCol)
+      .withColumn("_cap_r1", row_number().over(w1))
+      .where(col("_cap_r1") <= maxPerSource)
+      .drop("_cap_salt", "_cap_r1")
+      .withColumn("src_rank", row_number().over(w2).cast(LongType))
+      .where(col("src_rank") <= maxPerSource)
+  }
+
   /** Train-test decontamination: word n-gram overlap between the corpus and
     * a (small) benchmark set — the standard "is the eval set leaking into
     * training data" check. Both sides normalize (lower, collapsed

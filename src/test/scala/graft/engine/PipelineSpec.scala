@@ -375,4 +375,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan.take(800))
     assert(!plan.contains("Join"), plan.take(800))
   }
+
+  test("capPerSource equals the single-window per-source top-k at every salt count") {
+    val d = docs.select("doc_id", "source", "n_chars")
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    // salts=1 degenerates to the plain window; salts=101 exceeds the
+    // per-source row count so most sub-partitions hold 0 or 1 rows; k=40
+    // exceeds every source's size so everything survives with a full rank
+    for (k <- Seq(1, 7, 40); salts <- Seq(1, 4, 101)) {
+      val ref = d.withColumn("src_rank", row_number().over(w).cast("long"))
+        .where(col("src_rank") <= k)
+        .as[(Long, String, Long, Long)].collect().toSet
+      val got = Pipeline.capPerSource(d, "doc_id", "source", "n_chars", k, salts)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got === ref, s"k=$k salts=$salts")
+    }
+  }
+
+  test("capPerSource: a giant skewed source stays exact, bounded and layout-independent") {
+    // one host carrying ~98% of the corpus, heavy order-column ties — the
+    // case the salted phase 1 exists for (no window partition ever holds
+    // more than ~|source|/salts raw rows)
+    val rows = (1 to 2000).map(i => (i.toLong, "big", (i % 37).toLong)) ++
+      (1 to 30).map(i => (1000000L + i, "small", i.toLong))
+    val d = rows.toDF("doc_id", "source", "n_chars").repartition(13)
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    val ref = d.withColumn("src_rank", row_number().over(w).cast("long"))
+      .where(col("src_rank") <= 5)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val got = Pipeline.capPerSource(d, "doc_id", "source", "n_chars", 5, salts = 16)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === ref)
+    // dense 1-based ranks per source, independent of physical layout
+    assert(got.filter(_._2 == "big").map(_._4).toSeq.sorted === (1L to 5L))
+    assert(got.filter(_._2 == "small").map(_._4).toSeq.sorted === (1L to 5L))
+    val again = Pipeline.capPerSource(d.repartition(3), "doc_id", "source",
+        "n_chars", 5, salts = 16)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(again === got)
+  }
 }

@@ -689,6 +689,45 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Misra-Gries heavy hitters in the EXACT regime: the corpus vocabulary
+    // (31 distinct tokens) fits capacity=64, so no decrement ever fires and
+    // the sketch output IS the exact token-count table (max_underestimate
+    // pinned at 0) — one partial-aggregable pass, no key-space shuffle.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("text")
+      val toks = d.select(explode(split(trim(regexp_replace(
+          lower(coalesce(col("text"), lit(""))), "\\s+", " ")), " ")).as("key"))
+        .where(col("key") =!= "")
+      TypedAggregators.heavyHitters(toks, "key", capacity = 64)
+        .orderBy(col("est_count").desc, col("key"))
+    }),
+
+    // Heavy hitters in the GUARANTEE regime: a deterministically skewed key
+    // stream (two hot keys fanned out 20×, singleton cold tail) forces
+    // decrements at capacity=8; the deterministic claim is the MG contract
+    // itself — every key with true count above n/(capacity+1) is present,
+    // never overestimated, and within the reported underestimate bound.
+    "q_heavy_hitters_bound" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+      val keys = d.where(col("doc_id") % 10 === 0)
+        .select(explode(array_repeat(
+          concat(lit("hot"), col("doc_id") % 20), 20)).as("key"))
+        .unionByName(d.where(col("doc_id") % 10 =!= 0)
+          .select(concat(lit("cold"), col("doc_id")).as("key")))
+      val hh = TypedAggregators.heavyHitters(keys, "key", capacity = 8)
+      val exact = keys.groupBy("key").agg(count(lit(1)).as("exact_count"))
+      val n = keys.count()
+      exact.where(col("exact_count") > lit(n / 9L))
+        .join(hh, Seq("key"), "left")
+        .select(col("key"), col("exact_count"),
+          col("est_count").isNotNull.as("present"),
+          (col("est_count").isNotNull &&
+            col("est_count") <= col("exact_count") &&
+            (col("exact_count") - col("est_count")) <= col("max_underestimate"))
+            .as("within_bound"))
+        .orderBy("key")
+    }),
+
     // CCNet-style line-level boilerplate scrub. The corpus has no newlines,
     // so template chrome is injected deterministically: two boilerplate
     // variants that normalize (case + whitespace collapse) to the same
@@ -1927,6 +1966,30 @@ object SparkEntry {
            |  ROUND(exp(-w.s / w.np), 6) AS ppl, (exp(-w.s / w.np) <= 150.0) AS keep
            |FROM w JOIN n USING (doc_id) ORDER BY doc_id""".stripMargin
       },
+
+      // heavy-hitters exact-regime mirror: with every distinct token
+      // retained, the sketch equals the plain count table with a zero bound
+      "q_heavy_hitters" ->
+        s"""WITH tok0 AS (SELECT unnest(string_split(trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')), ' ')) AS key
+           |  FROM documents)
+           |SELECT key, CAST(COUNT(*) AS BIGINT) AS est_count,
+           |  CAST(0 AS BIGINT) AS max_underestimate
+           |FROM tok0 WHERE key <> '' GROUP BY key
+           |ORDER BY est_count DESC, key""".stripMargin,
+
+      // heavy-hitters guarantee-regime mirror: the oracle recomputes the
+      // skewed stream and the exact counts; the MG contract says both
+      // booleans are TRUE for every key above the n/(capacity+1) threshold
+      "q_heavy_hitters_bound" ->
+        s"""WITH keys AS (
+           |  SELECT 'hot' || CAST(doc_id % 20 AS VARCHAR) AS key
+           |    FROM documents, range(20) WHERE doc_id % 10 = 0
+           |  UNION ALL
+           |  SELECT 'cold' || CAST(doc_id AS VARCHAR) FROM documents WHERE doc_id % 10 <> 0),
+           |c AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS exact_count FROM keys GROUP BY 1),
+           |n AS (SELECT COUNT(*) AS n FROM keys)
+           |SELECT key, exact_count, TRUE AS present, TRUE AS within_bound
+           |FROM c, n WHERE exact_count > n // 9 ORDER BY key""".stripMargin,
 
       // per-source-cap mirror: the two-phase salted selection is exactly
       // the plain per-source top-k, so the oracle is the single window

@@ -164,9 +164,71 @@ object QuantileSketch {
   }
 }
 
+/** Misra-Gries heavy-hitters sketch: at most `capacity` (key, count)
+  * entries, one pass, mergeable — the scale answer to "top domains / top
+  * tokens over 10^12 rows" when a full groupBy-count shuffle of the key
+  * space is unaffordable. Estimates never overestimate, and the total
+  * decrement `maxUnderestimate` (≤ processed/(capacity+1)) bounds the
+  * underestimate exactly, so any key with true count above that bound is
+  * GUARANTEED present — both properties hold under arbitrary partition
+  * merge order (Agarwal et al.'s pointwise-sum-then-trim merge) and are
+  * what the bound-check oracle asserts. When the global distinct-key count
+  * is ≤ capacity no decrement ever fires and the sketch is EXACT — that
+  * regime gets a plain value-equality oracle. */
+final class MGSketch(
+    val capacity: Int,
+    val counts: scala.collection.mutable.HashMap[String, Long],
+    var processed: Long,
+    var decremented: Long) extends Serializable {
+
+  def this(capacity: Int) =
+    this(capacity, scala.collection.mutable.HashMap.empty, 0L, 0L)
+
+  def insert(x: String): MGSketch = {
+    processed += 1
+    counts.get(x) match {
+      case Some(c) => counts.update(x, c + 1)
+      case None if counts.size < capacity => counts.update(x, 1L)
+      case None =>
+        // classic MG decrement round: the arriving key and `capacity`
+        // stored keys each shed one count — ≤ processed/(capacity+1) rounds
+        // can ever happen, which is exactly the underestimate bound
+        decremented += 1
+        val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+        counts.foreach { case (k, c) =>
+          if (c == 1L) dead += k else counts.update(k, c - 1) }
+        dead.foreach(counts.remove)
+    }
+    this
+  }
+
+  /** Pointwise-sum merge, trimmed back to `capacity` entries by subtracting
+    * the (capacity+1)-largest combined count from everything (the merge
+    * that preserves the MG error bound under any merge tree). */
+  def merge(other: MGSketch): MGSketch = {
+    other.counts.foreach { case (k, c) =>
+      counts.update(k, counts.getOrElse(k, 0L) + c) }
+    processed += other.processed
+    decremented += other.decremented
+    if (counts.size > capacity) {
+      val cut = counts.values.toArray.sorted(Ordering[Long].reverse)(capacity)
+      decremented += cut
+      val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+      counts.foreach { case (k, c) =>
+        if (c <= cut) dead += k else counts.update(k, c - cut) }
+      dead.foreach(counts.remove)
+    }
+    this
+  }
+
+  /** Exact worst-case underestimate of any key's count (0 ⇒ sketch exact). */
+  def maxUnderestimate: Long = decremented
+}
+
 /** Typed Aggregators (north rule: "streaming stats via typed Aggregators"):
-  * per-column stats and the quantile sketch, both usable as
-  * `Dataset.select(agg.toColumn)` or registered column functions. */
+  * per-column stats, the quantile sketch and the heavy-hitters sketch, all
+  * usable as `Dataset.select(agg.toColumn)` or registered column
+  * functions. */
 object TypedAggregators {
 
   final case class Stats(
@@ -211,5 +273,37 @@ object TypedAggregators {
     df.select(col(valueCol).cast("double")).as[java.lang.Double]
       .select(quantileAgg(compression).toColumn)
       .collect()(0)
+  }
+
+  /** Misra-Gries heavy-hitters aggregator (buffer via Kryo, mergeable across
+    * partitions and snapshots like [[quantileAgg]]). */
+  def heavyHittersAgg(capacity: Int): Aggregator[String, MGSketch, MGSketch] =
+    new Aggregator[String, MGSketch, MGSketch] {
+      def zero: MGSketch = new MGSketch(capacity)
+      def reduce(b: MGSketch, x: String): MGSketch =
+        if (x == null) b else b.insert(x)
+      def merge(a: MGSketch, b: MGSketch): MGSketch = a.merge(b)
+      def finish(r: MGSketch): MGSketch = r
+      def bufferEncoder: Encoder[MGSketch] = Encoders.kryo[MGSketch]
+      def outputEncoder: Encoder[MGSketch] = Encoders.kryo[MGSketch]
+    }
+
+  /** Heavy-hitter keys of a column in ONE partial-aggregable pass — no
+    * groupBy shuffle of the key space, ≤ `capacity` result rows (driver-
+    * bounded by construction, the IVF-centroid discipline). Output per key:
+    * (key, est_count, max_underestimate) with est ≤ true ≤ est +
+    * max_underestimate; max_underestimate = 0 means the sketch is exact
+    * (no decrement ever fired — guaranteed when global distinct ≤
+    * capacity). */
+  def heavyHitters(df: DataFrame, keyCol: String, capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(capacity > 0, "capacity must be positive")
+    val sk = df.select(col(keyCol).cast("string")).na.drop().as[String]
+      .select(heavyHittersAgg(capacity).toColumn)
+      .collect()(0)
+    sk.counts.toSeq.sortBy { case (k, c) => (-c, k) }
+      .map { case (k, c) => (k, c, sk.maxUnderestimate) }
+      .toDF("key", "est_count", "max_underestimate")
   }
 }

@@ -155,4 +155,44 @@ class SketchSpec extends AnyFunSuite {
       seed.next
     }
   }
+
+  test("MG heavy hitters are EXACT when global distinct keys fit the capacity") {
+    import spark.implicits._
+    val keys = (0 until 5000).map(i => s"k${i % 40}")
+    val df = keys.toDF("key").repartition(17)
+    val hh = TypedAggregators.heavyHitters(df, "key", capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(hh.map(t => t._1 -> t._2).toMap === exact)
+    assert(hh.forall(_._3 === 0L)) // no decrement ever fired
+    // physical layout cannot change an exact sketch's output
+    val again = TypedAggregators.heavyHitters(keys.toDF("key").repartition(3),
+      "key", capacity = 64).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === hh.toSeq)
+  }
+
+  test("MG guarantees hold on skewed data at any partitioning: no overestimate, bounded underestimate, heavy keys present") {
+    import spark.implicits._
+    // zipf-ish: key j appears ~N/j times — few heavy keys, long singleton tail
+    val keys = (1 to 400).flatMap(j => Seq.fill(2000 / j)(s"z$j"))
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val n = keys.size.toLong
+    for (parts <- Seq(1, 13, 200)) {
+      val hh = TypedAggregators.heavyHitters(
+        keys.toDF("key").repartition(parts), "key", capacity = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(hh.nonEmpty && hh.length <= 8, s"parts=$parts size=${hh.length}")
+      val bound = hh.head._3
+      assert(bound <= n / 9, s"parts=$parts bound=$bound > n/(cap+1)")
+      hh.foreach { case (k, est, _) =>
+        assert(est <= exact(k), s"parts=$parts overestimated $k")
+        assert(exact(k) - est <= bound, s"parts=$parts $k outside bound")
+      }
+      // any key with true count above the reported bound MUST be present
+      val present = hh.map(_._1).toSet
+      exact.foreach { case (k, c) =>
+        if (c > bound) assert(present(k), s"parts=$parts heavy $k missing (c=$c, bound=$bound)")
+      }
+    }
+  }
 }

@@ -75,7 +75,60 @@ object Bench {
     (row.getLong(0), secs)
   }
 
+  /** Child-process entry: measure ONE parallelism level in this fresh JVM
+    * and print a single machine-readable line. Forking a JVM per level is
+    * the fix for the measured JIT compile-order hazard (BASELINE.md): after
+    * the ~60-query pass has compiled hundreds of generated classes, code
+    * first JIT-compiled in that JVM can stay ~3× slower permanently, which
+    * depressed both the headline rate and the scaling efficiency when the
+    * levels shared the query JVM. */
+  private def levelMain(c: Int, table: String): Unit = {
+    val s = session(c)
+    try {
+      validationRun(s, table) // warm
+      val (n, secs) = (1 to 5).map(_ => validationRun(s, table)).minBy(_._2)
+      scanRun(s, table) // warm
+      val (sn, sSecs) = (1 to 3).map(_ => scanRun(s, table)).minBy(_._2)
+      println(f"BENCHLEVEL $c ${n / secs}%.1f ${sn / sSecs}%.1f")
+    } finally s.stop()
+  }
+
+  /** Fork `levelMain(c)` as its own JVM, inheriting this JVM's flags
+    * (--add-opens pairs, heap, GC) and classpath. Returns (validation
+    * docs/sec, scan docs/sec), or None if the fork failed. */
+  private def forkLevel(c: Int, table: String): Option[(Double, Double)] = {
+    import scala.jdk.CollectionConverters._
+    try {
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val inherited = java.lang.management.ManagementFactory.getRuntimeMXBean
+        .getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ inherited ++
+        Seq("-cp", sys.props("java.class.path"),
+          "graft.Bench", "--level", c.toString, table)
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT) // Spark logs pass through
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val rc = p.waitFor()
+      val line = out.linesIterator.find(_.startsWith("BENCHLEVEL "))
+      if (rc != 0 || line.isEmpty) {
+        System.err.println(s"[bench] level-$c fork rc=$rc, no BENCHLEVEL line")
+        None
+      } else {
+        val parts = line.get.trim.split("\\s+")
+        Some((parts(2).toDouble, parts(3).toDouble))
+      }
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] level-$c fork failed: $e"); None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "--level") {
+      levelMain(args(1).toInt, args(2)); return
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "2000").toInt
@@ -126,9 +179,10 @@ object Bench {
         (n / secs, sn / sSecs)
       } finally s.stop()
     }
-    // measured highest-parallelism first so every level sees an equally
-    // JIT-warm JVM (the first level measured otherwise pays tier-up cost)
-    val levels = Seq(32, 16, 8, 4).map(c => c -> scalingRun(c)).toMap
+    // each level in its OWN forked JVM (clean JIT state — see levelMain);
+    // in-JVM fallback keeps the bench alive if forking is unavailable
+    val levels = Seq(32, 16, 8, 4)
+      .map(c => c -> forkLevel(c, table).getOrElse(scalingRun(c))).toMap
     val dps = levels.view.mapValues(_._1).toMap
     val scan = levels.view.mapValues(_._2).toMap
     // headline throughput must be measured AT the configured parallelism —

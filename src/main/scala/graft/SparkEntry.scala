@@ -492,6 +492,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // same decontamination through the non-broadcast scale path: Bloom
+    // prefilter cuts the corpus-gram shuffle to probable hits; false
+    // positives die in the exact join, so the oracle is the SAME SQL
+    "q_decontam_bloom" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      Pipeline.decontaminate(d, d.where(col("doc_id") % 37 === 3),
+          "doc_id", "text", n = 6, minHits = 2,
+          broadcastBenchmark = false, bloomFpp = 0.03)
+        .orderBy("doc_id")
+    }),
+
     // GPT-style concat-and-chunk packing into budget-512 sequences
     "q_pack_chunks" -> ((s, dir) =>
       Pipeline.packChunks(
@@ -768,6 +779,26 @@ object SparkEntry {
         .orderBy("doc_id")
     })
   )
+
+  /** Shared mirror for `q_decontam_overlap` and its Bloom-prefiltered
+    * twin `q_decontam_bloom` (exactness of the bloom path means one SQL
+    * serves both). */
+  private def decontamOracle: String =
+    s"""WITH cl AS (SELECT doc_id AS id,
+       |    trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl
+       |  FROM documents),
+       |tok AS (SELECT id, string_split(cl, ' ') AS ts FROM cl),
+       |gr AS (SELECT id, list_distinct(CASE WHEN len(ts) <= 6 THEN [array_to_string(ts, ' ')]
+       |         ELSE [array_to_string(ts[i:i+5], ' ') for i in range(1, len(ts) - 4)] END) AS gs
+       |  FROM tok),
+       |hg AS (SELECT id, [${HashSql.hash64("g", 7)} for g in gs] AS hs FROM gr),
+       |inv AS (SELECT id, len(hs) AS n_grams, unnest(hs) AS g FROM hg),
+       |bg AS (SELECT DISTINCT g FROM inv WHERE id % 37 = 3)
+       |SELECT inv.id AS doc_id, CAST(inv.n_grams AS INTEGER) AS n_grams,
+       |  COUNT(*) AS hits, true AS contaminated
+       |FROM inv JOIN bg USING (g)
+       |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+       |ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirrors. Column names must match the Spark outputs exactly. */
   def oracleSql: Map[String, String] = {
@@ -1622,22 +1653,11 @@ object SparkEntry {
       // decontamination mirror: normalized word 6-grams (whole-doc gram when
       // shorter), hashed with the engine's seed-7 hash, joined against the
       // distinct benchmark gram set
-      "q_decontam_overlap" ->
-        s"""WITH cl AS (SELECT doc_id AS id,
-           |    trim(regexp_replace(lower(COALESCE(text, '')), '\\s+', ' ', 'g')) AS cl
-           |  FROM documents),
-           |tok AS (SELECT id, string_split(cl, ' ') AS ts FROM cl),
-           |gr AS (SELECT id, list_distinct(CASE WHEN len(ts) <= 6 THEN [array_to_string(ts, ' ')]
-           |         ELSE [array_to_string(ts[i:i+5], ' ') for i in range(1, len(ts) - 4)] END) AS gs
-           |  FROM tok),
-           |hg AS (SELECT id, [${HashSql.hash64("g", 7)} for g in gs] AS hs FROM gr),
-           |inv AS (SELECT id, len(hs) AS n_grams, unnest(hs) AS g FROM hg),
-           |bg AS (SELECT DISTINCT g FROM inv WHERE id % 37 = 3)
-           |SELECT inv.id AS doc_id, CAST(inv.n_grams AS INTEGER) AS n_grams,
-           |  COUNT(*) AS hits, true AS contaminated
-           |FROM inv JOIN bg USING (g)
-           |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-           |ORDER BY doc_id""".stripMargin,
+      "q_decontam_overlap" -> decontamOracle,
+
+      // the Bloom-prefiltered variant is exact by construction (false
+      // positives die in the verifying join) → the IDENTICAL oracle
+      "q_decontam_bloom" -> decontamOracle,
 
       // packing mirror: the engine's two-phase (bucket offsets + per-bucket
       // window) exclusive prefix-sum equals ONE global window ordered

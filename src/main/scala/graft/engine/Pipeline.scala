@@ -131,19 +131,45 @@ object Pipeline {
     * benchmark gram set. The benchmark side is broadcast — at 10^12 corpus
     * docs the benchmark (eval suites, ~10^5 docs) is always the small side;
     * the corpus side stays a narrow scan + broadcast-hash-join, no shuffle.
-    * Output per contaminated doc: (doc_id, n_grams, hits, contaminated). */
+    * Output per contaminated doc: (doc_id, n_grams, hits, contaminated).
+    *
+    * `bloomFpp > 0` turns on a **Bloom prefilter** — the semi-join-reduction
+    * move for when the benchmark gram set is too big to broadcast as a hash
+    * relation (`broadcastBenchmark = false` ⇒ the join otherwise shuffles
+    * EVERY corpus gram row, ~n_grams × corpus docs): a compact Bloom filter
+    * over the benchmark gram hashes (built distributed via
+    * `stat.bloomFilter`, ~1.2 bytes/gram at 3% fpp vs ~16+ bytes/entry for
+    * a hash relation) is embedded as a literal, and
+    * `might_contain(bloom, g)` drops non-candidate gram rows INSIDE the
+    * corpus-side scan stage, before any exchange. Only probable hits are
+    * shuffled; false positives die in the exact join that still follows, so
+    * the result is bit-identical to the exact path — same oracle. */
   def decontaminate(
       corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
-      n: Int = 8, minHits: Int = 1, broadcastBenchmark: Boolean = true): DataFrame = {
+      n: Int = 8, minHits: Int = 1, broadcastBenchmark: Boolean = true,
+      bloomFpp: Double = 0.0): DataFrame = {
+    require(bloomFpp < 1.0, "bloomFpp must be < 1 (0 disables the prefilter)")
     val grams = gramFrame(corpus, idCol, textCol, n)
-    val benchGrams = gramFrame(benchmark, idCol, textCol, n)
+    val benchGrams0 = gramFrame(benchmark, idCol, textCol, n)
       .select(explode(col("grams")).as("g")).distinct()
+    // the bloom build is a second pass over the benchmark grams → keep them
+    val benchGrams =
+      if (bloomFpp > 0) benchGrams0.persistTracked() else benchGrams0
     // eval suites are ~10^5 docs → broadcast by default; a caller checking
     // against a benchmark too big for executor memory opts into the
     // shuffle-hash join instead of OOMing the broadcast
     val benchSide = if (broadcastBenchmark) broadcast(benchGrams) else benchGrams
-    grams.select(col("id").as("doc_id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("g"))
+    val corpusGrams = grams.select(col("id").as("doc_id"),
+      size(col("grams")).as("n_grams"), explode(col("grams")).as("g"))
+    val prefiltered = if (bloomFpp <= 0) corpusGrams else {
+      val items = math.max(benchGrams.count(), 1L)
+      val bf = benchGrams.stat.bloomFilter("g", items, bloomFpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      corpusGrams.where(expressions.Hash64Functions.bloomMightContainCol(
+        bos.toByteArray, col("g")))
+    }
+    prefiltered
       .join(benchSide, Seq("g"))
       .groupBy("doc_id", "n_grams").agg(count(lit(1)).as("hits"))
       .where(col("hits") >= minHits)

@@ -74,4 +74,17 @@ object Hash64Functions {
   /** `remainderUnsigned(hash64(col, seed), mod)` — deterministic bucket. */
   def hashBucketCol(col: Column, seed: Int, mod: Long): Column =
     wrap(Hash64(expr(col), seed, mod))
+
+  /** `might_contain(bloom, value)` over a LONG column, via Spark's own
+    * codegen'd [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * (the expression behind AQE's injected runtime filters) with the
+    * serialized `org.apache.spark.util.sketch.BloomFilter` embedded as a
+    * binary literal — it ships once in the task binary and deserializes
+    * lazily per executor. Used as a scan-stage semi-join reducer (see
+    * `Pipeline.decontaminate`). */
+  def bloomMightContainCol(bloomBytes: Array[Byte], value: Column): Column =
+    wrap(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bloomBytes, org.apache.spark.sql.types.BinaryType),
+      expr(value)))
 }

@@ -154,6 +154,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("decontaminate bloom prefilter is exact and sits before the join") {
+    val corpus = docs.select("doc_id", "text")
+    val bench = corpus.where(col("doc_id") % 10 === 1)
+    val exact = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+      n = 6, minHits = 2)
+    // the scale shape the prefilter exists for: non-broadcastable benchmark
+    val bloom = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+      n = 6, minHits = 2, broadcastBenchmark = false, bloomFpp = 0.03)
+    // even a uselessly-leaky filter must stay exact — FPs die in the join
+    val leaky = Pipeline.decontaminate(corpus, bench, "doc_id", "text",
+      n = 6, minHits = 2, broadcastBenchmark = false, bloomFpp = 0.9)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    val exactRows = rows(exact)
+    assert(rows(bloom) === exactRows)
+    assert(rows(leaky) === exactRows)
+    // might_contain must run on the corpus-gram side BEFORE the exchange:
+    // in the string plan the Filter[might_contain] appears below the join
+    // and above the corpus scan, i.e. no Exchange between scan and filter
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(1200))
+    val filterIdx = plan.indexOf("might_contain")
+    val exchangeBelow = plan.indexOf("Exchange", filterIdx)
+    val scanBelow = plan.indexOf("Scan", filterIdx)
+    assert(scanBelow >= 0 && (exchangeBelow < 0 || scanBelow < exchangeBelow),
+      s"prefilter not scan-local:\n${plan.take(1500)}")
+    graft.engine.Caches.releaseAll()
+  }
+
   test("packChunks two-phase prefix-sum equals the global-window reference") {
     val packed = Pipeline.packChunks(docs, "doc_id", "text", budget = 128, buckets = 8)
     // reference: the same layout computed with ONE global window (fine at

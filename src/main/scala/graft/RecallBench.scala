@@ -106,20 +106,23 @@ object RecallBench {
       val docs = s.read.parquet(corpusTable(s, bg, planted))
       val nDocs = docs.count()
 
-      // exact ground truth, computed independently of the operator: the
-      // planted pairs whose TRUE 3-shingle Jaccard clears the verify
-      // threshold, binned by floor(10·J)
+      // exact ground truth, computed independently of the operator: every
+      // planted pair's TRUE 3-shingle Jaccard, binned by floor(10·J)
       val sh = docs.where(col("doc_id") >= 10000000L)
         .select(col("doc_id"),
           Dedup.wordShingles(coalesce(col("text"), lit("")), 3).as("sh"))
-      val truth = sh.where(col("doc_id") < TwinOff).alias("a")
+      val truthAll = sh.where(col("doc_id") < TwinOff).alias("a")
         .join(sh.where(col("doc_id") >= TwinOff).alias("b"),
           col("b.doc_id") === col("a.doc_id") + TwinOff)
         .select(col("a.doc_id").as("id"),
           Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
-        .where(col("j") >= threshold)
         .withColumn("bin", floor(col("j") * 10).cast("int"))
         .persist()
+      val allBins = truthAll.groupBy("bin").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // minhash section: only pairs clearing the operator's verify threshold
+      // are recallable at all
+      val truth = truthAll.where(col("j") >= threshold)
       val totByBin = truth.groupBy("bin").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
       val bins = totByBin.keys.toSeq.sorted
@@ -156,6 +159,36 @@ object RecallBench {
         (h, b, secs, recalls)
       }
 
+      // SimHash section: the pigeonhole join is EXACT within hamming ≤
+      // maxHamming (spec-gated), so recall-vs-true-Jaccard here measures
+      // the intrinsic fidelity of 64-bit token simhash to shingle Jaccard
+      // on this corpus — i.e. which maxHamming a dedup run needs to catch
+      // J ≥ 0.8 twins, and what the radius costs. Bins cover ALL planted
+      // pairs (simhash has no Jaccard verify step to floor them).
+      val simBins = allBins.keys.toSeq.sorted
+      val simResults = Seq(2, 3, 4, 6).map { mh =>
+        def run(): DataFrame =
+          Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = mh)
+        val warm = time(run().count()); graft.engine.Caches.releaseAll()
+        val secs = math.min(warm, {
+          val t = time(run().count()); graft.engine.Caches.releaseAll(); t
+        })
+        val foundByBin = run()
+          .where(col("id_b") === col("id_a") + TwinOff)
+          .select(col("id_a").as("id"))
+          .join(truthAll, "id")
+          .groupBy("bin").count()
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        graft.engine.Caches.releaseAll()
+        val recalls = simBins.map { bin =>
+          (bin, foundByBin.getOrElse(bin, 0L).toDouble / allBins(bin))
+        }
+        System.err.println(f"[recallbench] simhash mh=$mh ${secs}%.1f s " +
+          recalls.map { case (bin, rec) =>
+            f"bin$bin%d(J∈[${bin / 10.0}%.1f,${(bin + 1) / 10.0}%.1f))=$rec%.3f" }.mkString(" "))
+        (mh, secs, recalls)
+      }
+
       val json =
         s"""{"docs":$nDocs,"bg":$bg,"planted_pairs":$planted,""" +
         s""""threshold":$threshold,"maxBucket":1024,""" +
@@ -164,6 +197,12 @@ object RecallBench {
           s"""{"h":$h,"bands":$b,"rows_per_band":${h / b},"secs":${f"$secs%.2f"},""" +
           recalls.map { case (bin, rec, th) =>
             f""""recall_bin$bin":$rec%.4f,"theory_bin$bin":$th%.4f""" }.mkString(",") + "}"
+        }.mkString(",") + "]," +
+        s""""all_pairs_by_bin":{${simBins.map(b => s""""$b":${allBins(b)}""").mkString(",")}},""" +
+        s""""simhash":[""" + simResults.map { case (mh, secs, recalls) =>
+          s"""{"maxHamming":$mh,"secs":${f"$secs%.2f"},""" +
+          recalls.map { case (bin, rec) =>
+            f""""recall_bin$bin":$rec%.4f""" }.mkString(",") + "}"
         }.mkString(",") + "]}"
       println(json)
       try java.nio.file.Files.write(

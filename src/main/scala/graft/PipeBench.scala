@@ -41,7 +41,7 @@ object PipeBench {
     // and merge the fragments. The default (all ops, one JVM) is kept for
     // quick relative runs.
     val opsWanted = sys.env.getOrElse("SPARK_GRAFT_PIPE_OPS",
-      "split,mix,pack,quality,chunk,repetition,linescrub,dsir,ppl")
+      "split,mix,pack,quality,chunk,repetition,linescrub,dsir,ppl,caps,hh")
       .split(",").map(_.trim).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_PIPE_OUT", "pipe_bench_out.json")
     // per-LEVEL isolation for the same reason: levels after the first in a
@@ -112,11 +112,35 @@ object PipeBench {
               "doc_id", "text", buckets = 128)
             .agg(count(lit(1)), avg("ppl")).collect()
         }
+        // per-source caps under REAL skew: half the corpus on one host —
+        // the exact shape the two-phase salted window exists for (a plain
+        // per-source window would sort n/2 rows in ONE partition)
+        def caps(): Double = time {
+          val skewed = docs.select(col("doc_id"), col("text"),
+            when(pmod(col("doc_id"), lit(4)) < 2, lit("bighost"))
+              .otherwise(concat(lit("src"), pmod(col("doc_id"), lit(1000))))
+              .as("source"))
+            .withColumn("prio", length(col("text")))
+          Pipeline.capPerSource(skewed, "doc_id", "source", "prio",
+              maxPerSource = 10000, salts = 64)
+            .agg(count(lit(1)), countDistinct("source")).collect()
+        }
+        // Misra-Gries heavy hitters over the same skewed key column: ONE
+        // partial-aggregable pass, no key-space shuffle
+        def hh(): Double = time {
+          val skewed = docs.select(
+            when(pmod(col("doc_id"), lit(4)) < 2, lit("bighost"))
+              .otherwise(concat(lit("src"), pmod(col("doc_id"), lit(1000))))
+              .as("source"))
+          graft.engine.TypedAggregators.heavyHitters(skewed, "source", capacity = 64)
+            .agg(count(lit(1)), max("est_count")).collect()
+        }
         val all: Seq[(String, () => Double)] = Seq(
           "split" -> (split _), "mix" -> (mix _), "pack" -> (pack _),
           "quality" -> (quality _), "chunk" -> (chunk _),
           "repetition" -> (repetition _), "linescrub" -> (linescrub _),
-          "dsir" -> (dsir _), "ppl" -> (ppl _))
+          "dsir" -> (dsir _), "ppl" -> (ppl _), "caps" -> (caps _),
+          "hh" -> (hh _))
         val selected = all.filter { case (name, _) => opsWanted.contains(name) }
         selected.foreach { case (_, op) => op() } // warm-up (selected only)
         selected.map { case (name, op) =>
@@ -127,7 +151,7 @@ object PipeBench {
 
     val levels = levelsWanted.map(c => c -> run(c)).toMap
     val ops = Seq("split", "mix", "pack", "quality", "chunk", "repetition",
-      "linescrub", "dsir", "ppl").filter(opsWanted.contains)
+      "linescrub", "dsir", "ppl", "caps", "hh").filter(opsWanted.contains)
     val json =
       s"""{"docs":$n,"replicate":$replicate,"sf":"$sfDir",""" +
       levelsWanted.flatMap { c =>

@@ -78,32 +78,55 @@ object AnnBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_ANN_REPLICATE", "1000").toInt
+    // one JVM per op for trustworthy numbers — the JIT compile-order hazard
+    // (PipeBench) applies here too: drive with
+    //   for op in ann neardup semdedup ivf; do
+    //     SPARK_GRAFT_ANN_OPS=$op SPARK_GRAFT_ANN_OUT=/tmp/ann_$op.json sbt "runMain graft.AnnBench"
+    //   done
+    // and merge the JSON fragments.
+    val opsWanted = sys.env.getOrElse("SPARK_GRAFT_ANN_OPS",
+      "ann,neardup,semdedup,ivf").split(",").map(_.trim).toSeq
+    val levelsWanted = sys.env.getOrElse("SPARK_GRAFT_ANN_LEVELS", "32,16,8,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_bench_out.json")
     val setup = session(32)
     val table = corpusTable(setup, sfDir, replicate)
     val n = setup.read.parquet(table).count()
     setup.stop()
 
-    def run(cpus: Int): (Double, Double) = {
+    def run(cpus: Int): Map[String, Double] = {
       val s = session(cpus)
       try {
         val corpus = s.read.parquet(table)
         val queries = corpus.where(col("vec_id") < 5)
-        def ann(): Double = time {
-          Similarity.annTopK(corpus, queries, k = 10, bits = 16).count()
-        }
-        def dups(): Double = time {
-          Similarity.cosineNearDups(corpus, threshold = 0.995, bits = 16,
-            maxBucket = 4096).count()
-        }
-        ann(); dups() // warm-up (codegen + JIT)
-        ((1 to 3).map(_ => ann()).min, (1 to 3).map(_ => dups()).min)
+        val ops: Seq[(String, () => Double)] = Seq(
+          "ann" -> (() => time {
+            Similarity.annTopK(corpus, queries, k = 10, bits = 16).count()
+          }),
+          "neardup" -> (() => time {
+            Similarity.cosineNearDups(corpus, threshold = 0.995, bits = 16,
+              maxBucket = 4096).count()
+          }),
+          // semDedup = the near-dup pair stage + one verdict join-back; its
+          // delta over neardup is the cost of turning pairs into kept flags
+          "semdedup" -> (() => time {
+            Similarity.semDedup(corpus, threshold = 0.995, bits = 16,
+              maxBucket = 4096)
+              .agg(count(lit(1)), sum(when(col("kept"), 0L).otherwise(1L)))
+              .collect()
+          }))
+        ops.filter(o => opsWanted.contains(o._1)).map { case (name, f) =>
+          f() // warm-up (codegen + JIT)
+          name -> (1 to 3).map(_ => f()).min
+        }.toMap
       } finally s.stop()
     }
 
     // highest level first so every level sees an equally JIT-warm JVM
-    val levels = Seq(32, 16, 8, 4).map(c => c -> run(c)).toMap
-    def annS(c: Int) = levels(c)._1
-    def dupS(c: Int) = levels(c)._2
+    val timedOps = Seq("ann", "neardup", "semdedup").filter(opsWanted.contains)
+    val levels: Map[Int, Map[String, Double]] =
+      if (timedOps.isEmpty) Map.empty
+      else levelsWanted.sorted(Ordering[Int].reverse).map(c => c -> run(c)).toMap
 
     // -- IVF recall-vs-nProbe curve at full corpus scale -------------------
     // exact top-10 (brute force over all n vectors) is the ground truth;
@@ -111,7 +134,7 @@ object AnnBench {
     // probe join), so `secs` is the end-to-end cost of that operating point
     // and `recall` the fraction of true neighbors it returns — the
     // measured trade-off a 10^12-vector deployment tunes nProbe against.
-    val ivfCurve = {
+    val ivfCurve = if (!opsWanted.contains("ivf")) Seq.empty else {
       val s = session(32)
       try {
         val corpus = s.read.parquet(table)
@@ -137,20 +160,21 @@ object AnnBench {
       s"""{"nProbe":$p,"recall":${f"$r%.3f"},"secs":${f"$secs%.2f"}}"""
     }.mkString("[", ",", "]")
 
-    val json =
-      s"""{"vectors":$n,"replicate":$replicate,"sf":"$sfDir",""" +
-      Seq(32, 16, 8, 4).map(c =>
-        s""""ann_secs_local$c":${f"${annS(c)}%.2f"},"ann_vecs_per_sec_local$c":${f"${n / annS(c)}%.0f"},""" +
-        s""""neardup_secs_local$c":${f"${dupS(c)}%.2f"},"neardup_vecs_per_sec_local$c":${f"${n / dupS(c)}%.0f"}""")
-        .mkString(",") + "," +
-      s""""ann_efficiency_4_to_16":${f"${(annS(4) / annS(16)) / 4.0}%.3f"},""" +
-      s""""ann_efficiency_8_to_32":${f"${(annS(8) / annS(32)) / 4.0}%.3f"},""" +
-      s""""neardup_efficiency_4_to_16":${f"${(dupS(4) / dupS(16)) / 4.0}%.3f"},""" +
-      s""""neardup_efficiency_8_to_32":${f"${(dupS(8) / dupS(32)) / 4.0}%.3f"},""" +
-      s""""ivf_recall_curve":$ivfJson}"""
+    val perLevel = for {
+      c <- levelsWanted.sorted(Ordering[Int].reverse); op <- timedOps
+      secs <- levels(c).get(op)
+    } yield s""""${op}_secs_local$c":${f"$secs%.2f"},"${op}_vecs_per_sec_local$c":${f"${n / secs}%.0f"}"""
+    def eff(op: String, lo: Int, hi: Int): Option[String] = for {
+      a <- levels.get(lo).flatMap(_.get(op)); b <- levels.get(hi).flatMap(_.get(op))
+    } yield s""""${op}_efficiency_${lo}_to_$hi":${f"${(a / b) / (hi.toDouble / lo)}%.3f"}"""
+    val effs = timedOps.flatMap(op => Seq(eff(op, 4, 16), eff(op, 8, 32)).flatten)
+    val fields = Seq(s""""vectors":$n""", s""""replicate":$replicate""",
+        s""""sf":"$sfDir"""") ++ perLevel ++ effs ++
+      (if (opsWanted.contains("ivf")) Seq(s""""ivf_recall_curve":$ivfJson""") else Nil)
+    val json = fields.mkString("{", ",", "}")
     println(json)
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("ann_bench_out.json"), (json + "\n").getBytes("UTF-8"))
+      java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))
     catch { case e: Exception => System.err.println(s"[annbench] write failed: $e") }
   }
 }

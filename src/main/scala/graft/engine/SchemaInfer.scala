@@ -1,7 +1,9 @@
 package graft.engine
 
 import graft.json.{JArr, JBool, JNum, JObj, JStr, JVal, Json}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -39,6 +41,67 @@ object SchemaInfer {
 
   val enumMax = 16
   private val dateRx = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+  /** UTF-8 byte order — what Spark's own string comparison (and therefore
+    * the `array_sort` this aggregate replaced) uses; Java's natural String
+    * order differs on supplementary characters. */
+  private object Utf8Order extends java.util.Comparator[String] with Serializable {
+    def compare(a: String, b: String): Int = {
+      val ab = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bb = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(ab.length, bb.length)
+      var i = 0
+      while (i < n) {
+        val c = (ab(i) & 0xff) - (bb(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      ab.length - bb.length
+    }
+  }
+
+  /** [[boundedEnumSet]]'s buffer — public only because Kryo encoding
+    * requires it; not API. */
+  final case class EnumBuf(var over: Boolean, vals: java.util.HashSet[String])
+
+  /** Size-capped distinct-set aggregate backing the enum evidence. The
+    * buffer holds at most [[enumMax]] + 1 distinct values and latches an
+    * overflow flag, so profiling a high-cardinality string column (a
+    * 10¹²-row free-text column, say) costs a fixed ~17-string buffer —
+    * the unbounded `collect_set` it replaces buffered the column's ENTIRE
+    * distinct value set per partition before the projection discarded it.
+    * Output: the '|'-joined UTF-8-sorted set when distinct ≤ [[enumMax]],
+    * NULL on overflow — identical to the old value in every case the
+    * evidence projection's `distinct_count BETWEEN 1 AND enumMax` guard
+    * lets through. */
+  private val boundedEnumSet: UserDefinedFunction = udaf(
+    new Aggregator[String, EnumBuf, String] {
+      def zero: EnumBuf = EnumBuf(over = false, new java.util.HashSet[String]())
+      def reduce(b: EnumBuf, x: String): EnumBuf = {
+        if (!b.over && x != null) {
+          b.vals.add(x)
+          if (b.vals.size > enumMax) { b.over = true; b.vals.clear() }
+        }
+        b
+      }
+      def merge(a: EnumBuf, b: EnumBuf): EnumBuf = {
+        if (a.over || b.over) { a.over = true; a.vals.clear() }
+        else {
+          a.vals.addAll(b.vals)
+          if (a.vals.size > enumMax) { a.over = true; a.vals.clear() }
+        }
+        a
+      }
+      def finish(r: EnumBuf): String =
+        if (r.over || r.vals.isEmpty) null
+        else {
+          val arr = r.vals.toArray(new Array[String](r.vals.size))
+          java.util.Arrays.sort(arr, Utf8Order)
+          arr.mkString("|")
+        }
+      def bufferEncoder: Encoder[EnumBuf] = Encoders.kryo[EnumBuf]
+      def outputEncoder: Encoder[String] = Encoders.STRING
+    }, Encoders.STRING)
 
   private sealed trait Kind
   private case object KInt extends Kind
@@ -124,7 +187,7 @@ object SchemaInfer {
             min(length(e)).cast(LongType).as(s"lmn$i"),
             max(length(e)).cast(LongType).as(s"lmx$i"),
             count_distinct(e).as(s"d$i"),
-            array_join(array_sort(collect_set(e)), "|").as(s"ev$i"),
+            boundedEnumSet(e).as(s"ev$i"),
             bool_and(coalesce(e.rlike(dateRx), lit(true))).as(s"fd$i"))
           case KBool => Seq(count_distinct(e).as(s"d$i"))
           case KArr => Seq(
@@ -263,17 +326,19 @@ object SchemaInfer {
           for (rv <- lOpt(r, 6); cv <- lOpt(c, 6); if cv > rv)
             emit(path, "max_len", Some(rv.toDouble), Some(cv.toDouble), None, None)
           val (re, ce) = (sOpt(r, 8), sOpt(c, 8))
+          val curHasValues = lOpt(c, 7).forall(_ > 0)
           val enumDrift =
             if (breaksOnly)
-              // outside values appeared, or the set outgrew the enum cap
-              re.exists { rvs =>
+              // outside values appeared, or the set outgrew the enum cap;
+              // an all-null batch column (curHasValues false) carries no
+              // enum evidence either way — same reasoning as `format`
+              curHasValues && re.exists { rvs =>
                 ce.forall(cvs =>
                   (cvs.split("\\|").toSet -- rvs.split("\\|").toSet).nonEmpty)
               }
             else re != ce && (re.nonEmpty || ce.nonEmpty)
           if (enumDrift) emit(path, "enum", None, None, re, ce)
           val (rf, cf) = (sOpt(r, 9), sOpt(c, 9))
-          val curHasValues = lOpt(c, 7).forall(_ > 0)
           // breaks-only: an all-null batch column carries no format
           // evidence either way — don't flag "format lost" on absence
           val formatDrift = rf.nonEmpty && cf != rf &&

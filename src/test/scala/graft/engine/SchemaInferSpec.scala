@@ -165,6 +165,41 @@ class SchemaInferSpec extends AnyFunSuite {
     refEv.unpersist()
   }
 
+  test("contractBreaks: an all-null batch column raises no enum/format alarm") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, Some("red"), Some("2021-01-01")),
+      (2L, Some("blue"), Some("2022-06-30")),
+      (3L, None: Option[String], None: Option[String]) // nullable in contract
+    ).toDF("id", "color", "day")
+    val refEv = SchemaInfer.evidence(ref)
+    // a batch where the nullable enum/format columns happen to be ALL null:
+    // no value evidence either way -> silence (required doesn't fire either,
+    // the contract already allows nulls); the symmetric audit still reports
+    val batch = Seq((4L, None: Option[String], None: Option[String]))
+      .toDF("id", "color", "day")
+    val breaks = SchemaInfer.contractBreaks(refEv, SchemaInfer.evidence(batch))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!breaks.exists(b => b._2 == "enum" || b._2 == "format"))
+    val audit = SchemaInfer.evidenceDiff(refEv, SchemaInfer.evidence(batch))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(audit.contains(("/color", "enum")))
+  }
+
+  test("enum evidence survives cross-partition merge and caps past enumMax") {
+    import spark.implicits._
+    // 3 distinct values scattered over 8 partitions: partial buffers merge
+    val few = Seq.tabulate(24)(i => (i.toLong, s"v${i % 3}"))
+      .toDF("id", "s").repartition(8)
+    assert(evidenceMap(few)("/s").getString(8) === "v0|v1|v2")
+    // 40 distinct over 8 partitions: every PARTIAL set is under the cap,
+    // only the merged set overflows -> no enum, exact distinct count kept
+    val many = Seq.tabulate(40)(i => (i.toLong, f"w$i%02d"))
+      .toDF("id", "s").repartition(8)
+    val r = evidenceMap(many)("/s")
+    assert(r.isNullAt(8) && r.getLong(7) === 40)
+  }
+
   test("evidence is deterministic across runs and partitionings") {
     val docs = DocTable.docs(spark, sfDir)
     val a = SchemaInfer.evidence(docs).collect().toSeq

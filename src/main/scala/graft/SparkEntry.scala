@@ -503,6 +503,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // FUZZY decontamination: the benchmark docs are lightly-edited copies
+    // of corpus docs — the common leak mode exact n-gram hit counting
+    // misses; LSH candidates + exact-Jaccard verify catches them
+    "q_decontam_fuzzy" -> ((s, dir) => {
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val bench = d.where(col("doc_id") % 37 === 3)
+        .withColumn("text", concat(col("text"), lit(" extra trailing words appended")))
+      Pipeline.fuzzyDecontam(d, bench, "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id")
+    }),
+
     // GPT-style concat-and-chunk packing into budget-512 sequences
     "q_pack_chunks" -> ((s, dir) =>
       Pipeline.packChunks(
@@ -1658,6 +1669,46 @@ object SparkEntry {
       // the Bloom-prefiltered variant is exact by construction (false
       // positives die in the verifying join) → the IDENTICAL oracle
       "q_decontam_bloom" -> decontamOracle,
+
+      // fuzzy-decontamination mirror: the full cross-table LSH chain —
+      // minhash signatures and band keys on BOTH sides, the benchmark-side
+      // skew cap, the (band, bucket) probe join, exact-Jaccard verify —
+      // then per contaminated doc the arg-max benchmark match (ties →
+      // smallest bench_id) and the distinct-match count
+      "q_decontam_fuzzy" -> {
+        val shingleHash = HashSql.hash64SeedVar("t", "j")
+        val bandSigs = s"[${HashSql.toUnsigned("g[b * 4 + r + 1]")} for r in range(0, 4)]"
+        def lshCtes(src: String, tag: String): String =
+          s"""w$tag AS (SELECT id, string_split_regex(trim(COALESCE(text, '')), '\\s+') AS w FROM $src),
+             |sh$tag AS (SELECT id,
+             |  CASE WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+             |       ELSE list_distinct([array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]) END AS s
+             |  FROM w$tag),
+             |sig$tag AS (SELECT id, [list_min([$shingleHash for t in s]) for j in range(0, 16)] AS g FROM sh$tag),
+             |bnd$tag AS (SELECT id, b, ${HashSql.bandKey("b", bandSigs)} AS bucket
+             |            FROM sig$tag, range(0, 4) r(b))""".stripMargin
+        s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents),
+           |bench AS (SELECT doc_id AS id, text || ' extra trailing words appended' AS text
+           |          FROM documents WHERE doc_id % 37 = 3),
+           |${lshCtes("corpus", "c")},
+           |${lshCtes("bench", "x")},
+           |okx AS (SELECT b, bucket FROM bndx GROUP BY 1, 2 HAVING COUNT(*) <= 64),
+           |prx AS (SELECT bndx.* FROM bndx JOIN okx USING (b, bucket)),
+           |cand AS (SELECT DISTINCT c.id AS doc_id, p.id AS bench_id
+           |         FROM bndc c JOIN prx p ON c.b = p.b AND c.bucket = p.bucket),
+           |ver AS (SELECT doc_id, bench_id,
+           |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) /
+           |    len(list_distinct(list_concat(sa.s, sb.s))) AS jaccard
+           |  FROM cand JOIN shc sa ON sa.id = doc_id JOIN shx sb ON sb.id = bench_id),
+           |hits AS (SELECT * FROM ver WHERE jaccard >= 0.5),
+           |best AS (SELECT doc_id, bench_id, jaccard FROM hits
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+           |           ORDER BY jaccard DESC, bench_id ASC) = 1)
+           |SELECT b.doc_id, b.bench_id, ROUND(b.jaccard, 6) AS jaccard, a.n_bench
+           |FROM best b JOIN (SELECT doc_id, COUNT(DISTINCT bench_id) AS n_bench
+           |                  FROM hits GROUP BY doc_id) a USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
+      },
 
       // packing mirror: the engine's two-phase (bucket offsets + per-bucket
       // window) exclusive prefix-sum equals ONE global window ordered

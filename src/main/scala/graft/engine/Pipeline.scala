@@ -176,6 +176,53 @@ object Pipeline {
       .withColumn("contaminated", lit(true))
   }
 
+  /** FUZZY train-test decontamination: corpus docs that are NEAR-duplicates
+    * of a benchmark doc (exact word-shingle Jaccard ≥ `threshold`), which
+    * [[decontaminate]]'s exact-n-gram hit counting misses once the leaked
+    * copy has been lightly edited (the common contamination mode — scraped
+    * eval sets with reflowed whitespace, added boilerplate, paraphrased
+    * prompts).
+    *
+    * Scale shape: the benchmark side is indexed with the skew-capped
+    * [[Dedup.minhashIndex]] (band, bucket, bench_id, shingles) and — being
+    * the eval-suite side, ~10^5 docs — broadcast by default, so the corpus
+    * side is ONE narrow signature projection probed map-side: band keys
+    * join the broadcast index, candidates are exact-Jaccard-verified in the
+    * same stage, and only VERIFIED hits (a vanishing fraction of the
+    * corpus) reach the single per-doc aggregate shuffle. A pair meeting in
+    * several bands yields duplicate candidate rows with identical Jaccard;
+    * the max-aggregate absorbs them and `n_bench` counts distinct benchmark
+    * matches, so no pre-dedup pass is needed. `broadcastBenchmark = false`
+    * falls back to a (band, bucket) shuffle join for benchmark sets too big
+    * for executor memory.
+    *
+    * Output per contaminated doc: (doc_id, bench_id, jaccard, n_bench) —
+    * the best-matching benchmark doc (highest Jaccard, ties → smallest
+    * bench_id), its match score, and how many benchmark docs matched. */
+  def fuzzyDecontam(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, h: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Int = 64,
+      broadcastBenchmark: Boolean = true): DataFrame = {
+    require(h % bands == 0, "bands must divide the signature length")
+    val benchIndex = Dedup.minhashIndex(benchmark, idCol, textCol, k, h, bands, maxBucket)
+      .select(col("band"), col("bucket"),
+        col("id").as("bench_id"), col("shingles").as("sh_b"))
+    val benchSide = if (broadcastBenchmark) broadcast(benchIndex) else benchIndex
+    val probes = Dedup.signatureFrame(corpus, idCol, textCol, k, h, bands)
+      .select(col("id").as("doc_id"), col("shingles").as("sh_a"),
+        posexplode(col("bands")).as(Seq("band", "bucket")))
+    probes.join(benchSide, Seq("band", "bucket"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(
+        max(struct(col("jaccard").as("j"), (-col("bench_id")).as("nb"))).as("_best"),
+        countDistinct(col("bench_id")).as("n_bench"))
+      .select(col("doc_id"), (-col("_best.nb")).as("bench_id"),
+        round(col("_best.j"), 6).as("jaccard"), col("n_bench"))
+  }
+
   /** (id, grams: array<long>) — distinct hashed word n-grams per doc. */
   private def gramFrame(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val spark = docs.sparkSession

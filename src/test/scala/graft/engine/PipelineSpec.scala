@@ -183,6 +183,60 @@ class PipelineSpec extends AnyFunSuite {
     graft.engine.Caches.releaseAll()
   }
 
+  test("fuzzyDecontam catches edited benchmark leaks exact decontam misses") {
+    val corpus = docs.select("doc_id", "text")
+    // the leak mode this operator exists for: benchmark docs are EDITED
+    // copies of corpus docs (trailing boilerplate appended), so no long
+    // exact n-gram survives verbatim at large n
+    val bench = corpus.where(col("doc_id") % 10 === 1)
+      .withColumn("text", concat(col("text"), lit(" extra trailing words appended")))
+    val hits = Pipeline.fuzzyDecontam(corpus, bench, "doc_id", "text",
+      threshold = 0.5)
+    val flagged = hits.select("doc_id").as[Long].collect().toSet
+    val benchIds = bench.select("doc_id").as[Long].collect().toSet
+    // an edited copy of a w-word doc sits at Jaccard (w−2)/(w+2) ≈ 0.7+;
+    // 4 bands × 4 rows catches ~95% of pairs at that similarity, so the
+    // deterministic unlucky tail may miss a few docs — never more than 10%
+    val missed = benchIds -- flagged
+    assert(missed.size <= benchIds.size / 10, s"missed $missed")
+    // every source doc whose twin WAS caught best-matches at twin-level
+    // Jaccard (≥ 0.69 for the shortest 11-word doc in this slice)
+    val caught = (benchIds -- missed).toSeq
+    val weak = hits.where(col("doc_id").isin(caught: _*))
+      .where(col("jaccard") < 0.6)
+    assert(weak.count() === 0)
+    // n_bench counts distinct matches and the duplicate band meetings of a
+    // pair collapse — never more matches than benchmark docs
+    assert(hits.where(col("n_bench") > benchIds.size).count() === 0)
+    // the benchmark index must join broadcast: the corpus side of this probe
+    // is 10^12 docs and must not shuffle before the verified-hit filter
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("fuzzyDecontam agrees with minhashPairs on a shared self-join fixture") {
+    // probing a corpus against ITSELF must reproduce minhashPairs'
+    // verified pairs (both directions collapse to per-doc best matches)
+    val corpus = TextOps.withMutatedTwins(
+      docs.select("doc_id", "text"), "doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fuzzy = Pipeline.fuzzyDecontam(corpus, corpus, "doc_id", "text",
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // every doc matches itself at jaccard 1 → best is 1.0, and the 1.0
+    // tie-break (smallest bench_id, maybe an exact-dup of the doc) never
+    // exceeds self
+    assert(fuzzy.forall { case (d, b, j, _) => j === 1.0 && b <= d })
+    val fuzzyByDoc = fuzzy.map(t => t._1 -> t._4).toMap
+    // a doc in k verified pairs sees those k partners PLUS itself
+    pairs.flatMap(p => Seq(p._1, p._2)).groupBy(identity).foreach {
+      case (id, occ) => assert(fuzzyByDoc(id) >= occ.length + 1,
+        s"doc $id: ${occ.length} pair partners but n_bench=${fuzzyByDoc(id)}")
+    }
+    graft.engine.Caches.releaseAll()
+  }
+
   test("packChunks two-phase prefix-sum equals the global-window reference") {
     val packed = Pipeline.packChunks(docs, "doc_id", "text", budget = 128, buckets = 8)
     // reference: the same layout computed with ONE global window (fine at

@@ -380,6 +380,18 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // embedding-space decontamination: benchmark vectors are rescaled
+    // copies of corpus vectors (cosine-invariant ⇒ known sim-1.0 leaks);
+    // the probe also surfaces genuine same-bucket near-dups ≥ 0.99
+    "q_embed_decontam" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bench = emb.where(col("vec_id") % 23 === 5)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+      Similarity.embedDecontam(emb, bench, threshold = 0.99, bits = 4,
+          maxBucket = 512)
+        .orderBy("vec_id")
+    }),
+
     // mixed-kind corpus validated via the broadcast schema registry
     // (per-row schema dispatch, column-compiled when expressible)
     "q_registry_verdicts" -> ((s, dir) => {
@@ -1552,6 +1564,33 @@ object SparkEntry {
            |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= 0.99)
            |SELECT c.vec_id, (d.vec_id IS NULL) AS kept
            |FROM corpus c LEFT JOIN dropped d USING (vec_id) ORDER BY c.vec_id""".stripMargin,
+
+      // embedding-decontam mirror: SRP buckets on BOTH tables from the
+      // same sign-matrix literal, benchmark-side skew cap, bucket probe
+      // join + exact cosine, then arg-max benchmark match per vector
+      "q_embed_decontam" ->
+        s"""WITH s AS (SELECT $srpSigns4 AS m),
+           |bench AS (
+           |  SELECT vec_id, [x * CAST(1.0005 AS REAL) for x in embedding] AS embedding
+           |  FROM embeddings WHERE vec_id % 23 = 5),
+           |bb AS (SELECT vec_id, embedding, ${srpBucketSql("embedding")} AS bucket
+           |       FROM bench, s),
+           |ok AS (SELECT bucket FROM bb GROUP BY bucket HAVING COUNT(*) <= 512),
+           |pb AS (SELECT bb.* FROM bb JOIN ok USING (bucket)),
+           |cb AS (SELECT vec_id, embedding, ${srpBucketSql("embedding")} AS bucket
+           |       FROM embeddings, s),
+           |hits AS (
+           |  SELECT q.vec_id AS id_a, c.vec_id AS id_b,
+           |    ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) AS sim
+           |  FROM cb q JOIN pb c ON q.bucket = c.bucket, $cosineLateral
+           |  WHERE ROUND(dot / (sqrt(qq) * sqrt(cc)), 6) >= 0.99),
+           |best AS (SELECT id_a, id_b, sim FROM hits
+           |         QUALIFY ROW_NUMBER() OVER (PARTITION BY id_a
+           |           ORDER BY sim DESC, id_b ASC) = 1)
+           |SELECT b.id_a AS vec_id, b.id_b AS bench_id, b.sim, a.n_bench
+           |FROM best b JOIN (SELECT id_a, COUNT(*) AS n_bench
+           |                  FROM hits GROUP BY id_a) a USING (id_a)
+           |ORDER BY vec_id""".stripMargin,
 
       "q_registry_verdicts" ->
         """SELECT doc_id,

@@ -245,6 +245,45 @@ object Similarity {
       .select(col("vec_id"), col("_d").isNull.as("kept"))
   }
 
+  /** Embedding-space train-test decontamination: corpus vectors whose
+    * cosine to some benchmark vector is ≥ `threshold` — the semantic
+    * counterpart of [[graft.engine.Pipeline.fuzzyDecontam]] for leaks that
+    * survive paraphrasing (token-level LSH misses a reworded eval doc; its
+    * embedding doesn't move).
+    *
+    * Scale shape mirrors the fuzzy text path: the benchmark side (~10^5
+    * eval vectors) is SRP-bucketed with the same skew cap as
+    * [[cosineNearDups]] and broadcast; the corpus side is one narrow
+    * bucketing projection probed map-side (bucket equi-join + exact cosine
+    * in the same stage), so only verified hits reach the single per-vector
+    * aggregate shuffle. A (corpus, benchmark) pair shares exactly ONE SRP
+    * bucket — no duplicate candidates, so `n_bench` is a plain count.
+    *
+    * Output per contaminated vector: (vec_id, bench_id, sim, n_bench) —
+    * best benchmark match (highest cosine, ties → smallest bench id), its
+    * similarity, and the number of benchmark vectors at ≥ threshold. */
+  def embedDecontam(
+      corpus: DataFrame, benchmark: DataFrame, threshold: Double, bits: Int = 6,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxBucket: Int = 100000): DataFrame = {
+    val benchB = srpFrame(benchmark, idCol, vecCol, bits)
+      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
+    val small = benchB.groupBy("bucket").agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket).select("bucket")
+    val benchSide = broadcast(benchB.join(small, Seq("bucket")))
+    val probes = srpFrame(corpus, idCol, vecCol, bits)
+      .select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
+    scorePairs(probes.join(benchSide, Seq("bucket"))
+        .select("id_a", "id_b", "vec_a", "vec_b"))
+      .where(col("sim") >= threshold)
+      .groupBy(col("id_a"))
+      .agg(
+        max(struct(col("sim").as("s"), (-col("id_b")).as("nb"))).as("_best"),
+        count(lit(1)).as("n_bench"))
+      .select(col("id_a").as("vec_id"), (-col("_best.nb")).as("bench_id"),
+        col("_best.s").as("sim"), col("n_bench"))
+  }
+
   /** Count of SRP buckets above the [[cosineNearDups]] skew cap — derived
     * from the same srpFrame hashing that does the pruning, so the metric
     * describes the buckets actually dropped. */

@@ -211,6 +211,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.count(!_._2) === twinIds.length)
   }
 
+  test("embedDecontam flags rescaled benchmark leaks; benchmark side broadcasts") {
+    // benchmark = rescaled copies of every 23rd corpus vector: cosine is
+    // scale-invariant, so each source vector is a KNOWN sim-1.0 leak that
+    // lands in the same SRP bucket deterministically
+    val bench = emb.where(col("vec_id") % 23 === 5)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+    val hits = Similarity.embedDecontam(emb, bench, threshold = 0.99,
+      bits = 4, maxBucket = 512)
+    val byId = hits.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val benchIds = bench.select("vec_id").collect().map(_.getLong(0))
+    assert(benchIds.nonEmpty)
+    benchIds.foreach { b =>
+      val (bid, sim, n) = byId.getOrElse(b, fail(s"leak source $b not flagged"))
+      assert(bid === b && sim === 1.0 && n >= 1L)
+    }
+    // random embeddings are mutually near-orthogonal — only the planted
+    // leaks are contaminated
+    assert(byId.keySet === benchIds.toSet)
+    // the benchmark index must broadcast — the corpus probe side is the
+    // 10^12-row table and must not shuffle before the verified-hit filter
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
   test("line scrub: recurring normalized lines removed, unique lines and order survive") {
     import spark.implicits._
     val corpus = Seq(

@@ -85,7 +85,7 @@ object AnnBench {
     //   done
     // and merge the JSON fragments.
     val opsWanted = sys.env.getOrElse("SPARK_GRAFT_ANN_OPS",
-      "ann,neardup,semdedup,ivf").split(",").map(_.trim).toSeq
+      "ann,neardup,semdedup,embeddecon,ivf").split(",").map(_.trim).toSeq
     val levelsWanted = sys.env.getOrElse("SPARK_GRAFT_ANN_LEVELS", "32,16,8,4")
       .split(",").map(_.trim.toInt).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_ANN_OUT", "ann_bench_out.json")
@@ -114,6 +114,16 @@ object AnnBench {
               maxBucket = 4096)
               .agg(count(lit(1)), sum(when(col("kept"), 0L).otherwise(1L)))
               .collect()
+          }),
+          // embedding decontam: ~1/97 of the corpus, rescaled, plays the
+          // benchmark; the probe side is the full replicated corpus
+          "embeddecon" -> (() => time {
+            val bench = corpus.where(col("vec_id") % 97 === 13)
+              .withColumn("embedding",
+                org.apache.spark.sql.functions.transform(
+                  col("embedding"), x => x * lit(1.0005f)))
+            Similarity.embedDecontam(corpus, bench, threshold = 0.995,
+              bits = 16, maxBucket = 4096).count()
           }))
         ops.filter(o => opsWanted.contains(o._1)).map { case (name, f) =>
           f() // warm-up (codegen + JIT)
@@ -123,7 +133,7 @@ object AnnBench {
     }
 
     // highest level first so every level sees an equally JIT-warm JVM
-    val timedOps = Seq("ann", "neardup", "semdedup").filter(opsWanted.contains)
+    val timedOps = Seq("ann", "neardup", "semdedup", "embeddecon").filter(opsWanted.contains)
     val levels: Map[Int, Map[String, Double]] =
       if (timedOps.isEmpty) Map.empty
       else levelsWanted.sorted(Ordering[Int].reverse).map(c => c -> run(c)).toMap

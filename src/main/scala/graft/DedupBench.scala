@@ -1,6 +1,6 @@
 package graft
 
-import graft.engine.{Dedup, TextOps}
+import graft.engine.{Dedup, Pipeline, TextOps}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -81,7 +81,7 @@ object DedupBench {
     // one JVM per op (and optionally per level) for trustworthy numbers —
     // the JIT compile-order hazard PipeBench documents applies here too
     val opsWanted = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OPS",
-      "exact,minhash,simhash,winnow,spans").split(",").map(_.trim).toSeq
+      "exact,minhash,simhash,winnow,spans,fuzzydecon").split(",").map(_.trim).toSeq
     val levelsWanted = sys.env.getOrElse("SPARK_GRAFT_DEDUP_LEVELS", "32,16,8,4")
       .split(",").map(_.trim.toInt).toSeq
     val outPath = sys.env.getOrElse("SPARK_GRAFT_DEDUP_OUT", "dedup_bench_out.json")
@@ -116,6 +116,15 @@ object DedupBench {
           }),
           "spans" -> (() => {
             Dedup.dupSpans(docs, "doc_id", "text", k = 20).count(); ()
+          }),
+          // fuzzy decontam: ~1/101 of the corpus, lightly edited, plays the
+          // benchmark; the probe side is the full replicated corpus
+          "fuzzydecon" -> (() => {
+            val bench = docs.where(col("doc_id") % 101 === 7)
+              .withColumn("text",
+                concat(col("text"), lit(" extra trailing words appended")))
+            Pipeline.fuzzyDecontam(docs, bench, "doc_id", "text",
+              threshold = 0.5, maxBucket = 256).count(); ()
           }))
         ops.filter { case (name, _) => opsWanted.contains(name) }
           .map { case (name, op) =>
@@ -131,7 +140,7 @@ object DedupBench {
       } finally s.stop()
     }
 
-    val opNames = Seq("exact", "minhash", "simhash", "winnow", "spans")
+    val opNames = Seq("exact", "minhash", "simhash", "winnow", "spans", "fuzzydecon")
       .filter(opsWanted.contains)
     val levels = levelsWanted.map(c => c -> run(c)).toMap
     def opDocs(o: String): Long = if (o == "winnow") winN else n

@@ -69,6 +69,39 @@ object Dedup {
     }
   }
 
+  /** Per-doc minhash core shared by the signature frames: distinct
+    * k-shingles and the banded LSH keys of their h-way minhash signature.
+    * `md` is reused across calls (hot loops allocate nothing). */
+  private[engine] def minhashOf(
+      md: java.security.MessageDigest, text: String,
+      k: Int, h: Int, bands: Int): (Array[String], Array[Long]) = {
+    val rowsPerBand = h / bands
+    val sh = shinglesOf(text, k)
+    val sig = Array.fill(h)(Long.MaxValue)
+    var si = 0
+    while (si < sh.length) {
+      // md5 once per shingle; per-seed hashes are cheap mixes on top
+      val base = md5Base(md, sh(si))
+      var j = 0
+      while (j < h) {
+        val hv = mix64(base + j * golden)
+        if (hv < sig(j)) sig(j) = hv
+        j += 1
+      }
+      si += 1
+    }
+    val bandKeys = Array.tabulate(bands) { b =>
+      var acc = 0x9e3779b97f4a7c15L + b
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = (acc ^ sig(b * rowsPerBand + r)) * 0x100000001b3L
+        r += 1
+      }
+      acc
+    }
+    (sh, bandKeys)
+  }
+
   /** One pass over (id, text) computing shingles + LSH band keys with plain
     * JVM loops. Spark's higher-order functions are CodegenFallback — the
     * interpreted per-shingle lambda costs ~100× this typed projection, which
@@ -78,40 +111,40 @@ object Dedup {
       k: Int, h: Int, bands: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rowsPerBand = h / bands
     docs.select(col(idCol).cast(LongType).as("id"),
         coalesce(col(textCol), lit("")).as("text"))
       .as[(Long, String)]
       .mapPartitions { iter =>
         val md = java.security.MessageDigest.getInstance("MD5")
         iter.map { case (id, text) =>
-          val sh = shinglesOf(text, k)
-          val sig = Array.fill(h)(Long.MaxValue)
-          var si = 0
-          while (si < sh.length) {
-            // md5 once per shingle; per-seed hashes are cheap mixes on top
-            val base = md5Base(md, sh(si))
-            var j = 0
-            while (j < h) {
-              val hv = mix64(base + j * golden)
-              if (hv < sig(j)) sig(j) = hv
-              j += 1
-            }
-            si += 1
-          }
-          val bandKeys = Array.tabulate(bands) { b =>
-            var acc = 0x9e3779b97f4a7c15L + b
-            var r = 0
-            while (r < rowsPerBand) {
-              acc = (acc ^ sig(b * rowsPerBand + r)) * 0x100000001b3L
-              r += 1
-            }
-            acc
-          }
+          val (sh, bandKeys) = minhashOf(md, text, k, h, bands)
           (id, sh.toSeq, bandKeys.toSeq)
         }
       }
       .toDF("id", "shingles", "bands")
+  }
+
+  /** [[signatureFrame]] carrying an event-time column through the typed
+    * stage — the streaming probe shape, where the watermark column must
+    * survive to the output ([[graft.streaming.StreamingChecks
+    * .streamingNearDup]]). */
+  private[graft] def signatureFrameTs(
+      docs: DataFrame, idCol: String, textCol: String, tsCol: String,
+      k: Int, h: Int, bands: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast(LongType).as("id"),
+        coalesce(col(textCol), lit("")).as("text"),
+        col(tsCol).cast(TimestampType).as("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .mapPartitions { iter =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        iter.map { case (id, text, ts) =>
+          val (sh, bandKeys) = minhashOf(md, text, k, h, bands)
+          (id, sh.toSeq, bandKeys.toSeq, ts)
+        }
+      }
+      .toDF("id", "shingles", "bands", tsCol)
   }
 
   /** Full MinHash-LSH near-dup pipeline.

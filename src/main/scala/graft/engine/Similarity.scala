@@ -106,7 +106,7 @@ object Similarity {
 
   /** Score (id_a, id_b, vec_a, vec_b) pairs with a typed projection;
     * returns (id_a, id_b, sim) with sim rounded to 6dp. */
-  private def scorePairs(pairs: DataFrame): DataFrame = {
+  private[graft] def scorePairs(pairs: DataFrame): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
     pairs.select(col("id_a"), col("id_b"),
@@ -142,7 +142,23 @@ object Similarity {
   /** Typed-projection SRP bucketing: (id, vec, bucket) where bucket bit j =
     * sign(vec · hyperplane_j). One narrow codegen-free-but-compiled map —
     * no interpreted lambdas, no shuffle. */
-  private[engine] def srpFrame(
+  /** Per-vector SRP bucket (bit j = sign(vec · hyperplane_j)); the caller
+    * manages the `signs` cache across a partition. */
+  private[engine] def srpBucketOf(
+      signs: Array[Array[Double]], vec: Array[Float], bits: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      val row = signs(j)
+      var dot = 0.0; var i = 0
+      while (i < vec.length) { dot += vec(i).toDouble * row(i); i += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  private[graft] def srpFrame(
       df: DataFrame, idCol: String, vecCol: String, bits: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -154,19 +170,49 @@ object Similarity {
         iter.map { case (id, vec) =>
           if (signs == null || signs(0).length < vec.length)
             signs = srpSigns(bits, vec.length)
-          var bucket = 0L
-          var j = 0
-          while (j < bits) {
-            val row = signs(j)
-            var dot = 0.0; var i = 0
-            while (i < vec.length) { dot += vec(i).toDouble * row(i); i += 1 }
-            if (dot > 0) bucket |= (1L << j)
-            j += 1
-          }
-          (id, vec, bucket)
+          (id, vec, srpBucketOf(signs, vec, bits))
         }
       }
       .toDF("id", "vec", "bucket")
+  }
+
+  /** [[srpFrame]] carrying an event-time column through the typed stage —
+    * the streaming probe shape ([[graft.streaming.StreamingChecks
+    * .streamingEmbedDecontam]]), where the watermark column must survive
+    * to the output. */
+  private[graft] def srpFrameTs(
+      df: DataFrame, idCol: String, vecCol: String, tsCol: String,
+      bits: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        col(tsCol).cast(TimestampType).as("ts"))
+      .as[(Long, Array[Float], java.sql.Timestamp)]
+      .mapPartitions { iter =>
+        var signs: Array[Array[Double]] = null
+        iter.map { case (id, vec, ts) =>
+          if (signs == null || signs(0).length < vec.length)
+            signs = srpSigns(bits, vec.length)
+          (id, vec, srpBucketOf(signs, vec, bits), ts)
+        }
+      }
+      .toDF("id", "vec", "bucket", tsCol)
+  }
+
+  /** The materializable SRP index of an embedding snapshot: one
+    * (bucket, id, vec) row per vector, with buckets above `maxBucket`
+    * dropped — the embedding counterpart of [[Dedup.minhashIndex]], with
+    * the same skew discipline (a degenerate bucket would make every probe
+    * join O(bucket) rows). At scale this frame is WRITTEN once per
+    * snapshot and probed by every ingestion batch/stream. */
+  def embedIndex(
+      corpus: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 6, maxBucket: Int = 100000): DataFrame = {
+    val b = srpFrame(corpus, idCol, vecCol, bits)
+    val small = b.groupBy("bucket").agg(count(lit(1)).as("_bsize"))
+      .where(col("_bsize") <= maxBucket).select("bucket")
+    b.join(small, Seq("bucket")).select("bucket", "id", "vec")
   }
 
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's SRP
@@ -266,11 +312,9 @@ object Similarity {
       corpus: DataFrame, benchmark: DataFrame, threshold: Double, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxBucket: Int = 100000): DataFrame = {
-    val benchB = srpFrame(benchmark, idCol, vecCol, bits)
-      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("bucket"))
-    val small = benchB.groupBy("bucket").agg(count(lit(1)).as("_bsize"))
-      .where(col("_bsize") <= maxBucket).select("bucket")
-    val benchSide = broadcast(benchB.join(small, Seq("bucket")))
+    val benchSide = broadcast(
+      embedIndex(benchmark, idCol, vecCol, bits, maxBucket)
+        .select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")))
     val probes = srpFrame(corpus, idCol, vecCol, bits)
       .select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
     scorePairs(probes.join(benchSide, Seq("bucket"))

@@ -140,9 +140,15 @@ object StreamingChecks {
     val probeCols = col("id").as("stream_id") +: col("shingles").as("sh_s") +:
       posexplode(col("bands")).as(Seq("band", "bucket")) +:
       tsCol.map(col).toSeq
-    val probes = graft.engine.Dedup
-      .signatureFrame(stream, idCol, textCol, k, h, bands)
-      .select(probeCols: _*)
+    // the watermark column must ride THROUGH the typed signature stage —
+    // a post-hoc join back to the stream would be a stream-stream join
+    val sigs = tsCol match {
+      case Some(ts) => graft.engine.Dedup
+        .signatureFrameTs(stream, idCol, textCol, ts, k, h, bands)
+      case None => graft.engine.Dedup
+        .signatureFrame(stream, idCol, textCol, k, h, bands)
+    }
+    val probes = sigs.select(probeCols: _*)
     val matched = probes
       .join(staticIndex.select(col("band"), col("bucket"),
         col("id").as("static_id"), col("shingles").as("sh_i")),
@@ -158,6 +164,65 @@ object StreamingChecks {
     tsCol match {
       case Some(ts) => out.withWatermark(ts, watermark)
         .dropDuplicatesWithinWatermark("stream_id", "static_id")
+      case None => out
+    }
+  }
+
+  /** Continuous-ingestion EMBEDDING decontamination: each stream vector's
+    * SRP bucket (same typed bucketing stage as the batch path) probes a
+    * static [[graft.engine.Similarity.embedIndex]] of the benchmark with a
+    * stream-static equi-join, and every candidate is verified with the
+    * exact cosine — identical semantics to batch
+    * [[graft.engine.Similarity.embedDecontam]]'s hit stage. The index side
+    * carries the skew cap from when it was built, so a degenerate bucket
+    * can never blow up a micro-batch join.
+    *
+    * Output: (stream_id, bench_id, sim) for sim ≥ threshold. A vector
+    * re-sent across micro-batches emits repeat rows — pass `tsCol` to
+    * bound repeats with `dropDuplicatesWithinWatermark`, or dedup
+    * downstream. The stream side must use the SAME `bits` the index was
+    * built with. */
+  def streamingEmbedDecontam(
+      stream: DataFrame, staticIndex: DataFrame, idCol: String, vecCol: String,
+      bits: Int = 6, threshold: Double = 0.99,
+      tsCol: Option[String] = None, watermark: String = "2 minutes"): DataFrame = {
+    val probes = (tsCol match {
+      case Some(ts) => graft.engine.Similarity
+        .srpFrameTs(stream, idCol, vecCol, ts, bits)
+      case None => graft.engine.Similarity.srpFrame(stream, idCol, vecCol, bits)
+    }).select(col("id").as("id_a") +: col("vec").as("vec_a") +:
+      col("bucket") +: tsCol.map(col).toSeq: _*)
+    val matched = probes
+      .join(staticIndex.select(col("bucket"), col("id").as("id_b"),
+        col("vec").as("vec_b")), Seq("bucket"))
+    // the watermark column has to ride THROUGH the typed scoring stage —
+    // Similarity.scorePairs drops extra columns and joining the ts back
+    // would be a stream-stream join, so the ts variant uses a widened
+    // scorer over the same cosineArrays kernel
+    val scored = tsCol match {
+      case None =>
+        graft.engine.Similarity.scorePairs(
+          matched.select("id_a", "id_b", "vec_a", "vec_b"))
+          .select(col("id_a").as("stream_id"), col("id_b").as("bench_id"),
+            col("sim"))
+      case Some(ts) =>
+        val spark = matched.sparkSession
+        import spark.implicits._
+        matched.select(col("id_a"), col("id_b"),
+            col("vec_a").cast("array<float>"), col("vec_b").cast("array<float>"),
+            col(ts).cast(TimestampType))
+          .as[(Long, Long, Array[Float], Array[Float], java.sql.Timestamp)]
+          .mapPartitions(_.map { case (a, b, va, vb, t) =>
+            (a, b, new java.math.BigDecimal(
+              graft.engine.Similarity.cosineArrays(va, vb))
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue(), t)
+          })
+          .toDF("stream_id", "bench_id", "sim", ts)
+    }
+    val out = scored.where(col("sim") >= threshold)
+    tsCol match {
+      case Some(ts) => out.withWatermark(ts, watermark)
+        .dropDuplicatesWithinWatermark("stream_id", "bench_id")
       case None => out
     }
   }

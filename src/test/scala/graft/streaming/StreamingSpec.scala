@@ -182,6 +182,88 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); index.unpersist() }
   }
 
+  test("streamingNearDup with tsCol: watermark column survives and re-sent pairs dedup") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = graft.engine.TextOps.withMutatedTwins(docs, "doc_id", "text")
+    val index = graft.engine.Dedup
+      .minhashIndex(corpus.where(col("doc_id") >= 0), "doc_id", "text",
+        maxBucket = 100000)
+      .persist()
+    val twins = corpus.where(col("doc_id") < 0)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(twins.nonEmpty)
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:00")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    // the tsCol path must carry the event-time column THROUGH the typed
+    // signature stage (it used to be dropped there, which made any
+    // tsCol=Some(...) call fail analysis) and bound re-sent duplicates
+    val matches = StreamingChecks.streamingNearDup(
+      input.toDF().toDF("doc_id", "text", "ts"), index, "doc_id", "text",
+      threshold = 0.5, tsCol = Some("ts"))
+    val q = matches.writeStream.format("memory").queryName("neardup_ts_stream")
+      .outputMode("append").start()
+    try {
+      // every twin sent TWICE in the same micro-batch
+      val batch = twins.flatMap(d => Seq((d._1, d._2, t0), (d._1, d._2, t0)))
+      input.addData(batch.toIndexedSeq); q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT stream_id, static_id FROM neardup_ts_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.nonEmpty, "twins must match their originals")
+      // watermarked dedup: one row per (stream, static) pair despite the
+      // duplicate sends
+      assert(rows.length === rows.distinct.length)
+      // agreement with the no-ts path on WHICH pairs match
+      val plain = StreamingChecks.streamingNearDup(
+        corpus.where(col("doc_id") < 0), index, "doc_id", "text",
+        threshold = 0.5).select("stream_id", "static_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.toSet === plain)
+    } finally { q.stop(); index.unpersist() }
+  }
+
+  test("streaming embedding decontam agrees with the batch probe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val bench = emb.where(col("vec_id") % 23 === 5)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+    val index = graft.engine.Similarity
+      .embedIndex(bench, bits = 4, maxBucket = 512).persist()
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[(Long, Array[Float])].collect()
+    val input = MemoryStream[(Long, Array[Float])]
+    val matches = StreamingChecks.streamingEmbedDecontam(
+      input.toDF().toDF("vec_id", "embedding"), index, "vec_id", "embedding",
+      bits = 4, threshold = 0.99)
+    val q = matches.writeStream.format("memory").queryName("embeddecon_stream")
+      .outputMode("append").start()
+    try {
+      val (a, b) = vecs.splitAt(vecs.length / 2)
+      input.addData(a.toIndexedSeq); q.processAllAvailable()
+      input.addData(b.toIndexedSeq); q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT stream_id, bench_id, sim FROM embeddecon_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed.nonEmpty, "rescaled leaks must match their sources")
+      // reconstruct the batch operator's per-doc best-match aggregate from
+      // the streamed pair rows: identical hits ⇒ identical aggregate
+      val bestFromStream = streamed.groupBy(_._1).map { case (id, rows) =>
+        val best = rows.minBy(t => (-t._3, t._2))
+        (id, best._2, best._3, rows.map(_._2).size.toLong)
+      }.toSet
+      val batch = graft.engine.Similarity.embedDecontam(emb, bench,
+          threshold = 0.99, bits = 4, maxBucket = 512)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      assert(bestFromStream === batch)
+    } finally { q.stop(); index.unpersist() }
+  }
+
   test("pipeline quality filter and split assignment run unchanged on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -380,6 +380,19 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // embedding-distribution drift: the current snapshot rectifies half
+    // the vectors (component-wise abs) — mass concentrates on the positive
+    // side of every hyperplane, a deterministic OCCUPANCY shift. (Negating
+    // vectors instead is a measure-preserving involution on a symmetric
+    // distribution: every vector moves but the histogram doesn't.)
+    "q_embed_drift" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val cur = emb.withColumn("embedding",
+        when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+          .otherwise(col("embedding")))
+      Similarity.embedDriftBins(emb, cur, bits = 4)
+    }),
+
     // embedding-space decontamination: benchmark vectors are rescaled
     // copies of corpus vectors (cosine-invariant ⇒ known sim-1.0 leaks);
     // the probe also surfaces genuine same-bucket near-dups ≥ 0.99
@@ -1564,6 +1577,25 @@ object SparkEntry {
            |dropped AS (SELECT DISTINCT id_b AS vec_id FROM pairs WHERE sim >= 0.99)
            |SELECT c.vec_id, (d.vec_id IS NULL) AS kept
            |FROM corpus c LEFT JOIN dropped d USING (vec_id) ORDER BY c.vec_id""".stripMargin,
+
+      // embedding-drift mirror: both snapshots' SRP buckets recomputed from
+      // the sign-matrix literal, occupancy counted, full-outer joined
+      "q_embed_drift" ->
+        s"""WITH s AS (SELECT $srpSigns4 AS m),
+           |cur AS (
+           |  SELECT vec_id,
+           |    CASE WHEN vec_id % 2 = 0 THEN [abs(x) for x in embedding]
+           |         ELSE embedding END AS embedding
+           |  FROM embeddings),
+           |rb AS (SELECT ${srpBucketSql("embedding")} AS bucket FROM embeddings, s),
+           |cb AS (SELECT ${srpBucketSql("embedding")} AS bucket FROM cur, s),
+           |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ref_count FROM rb GROUP BY 1),
+           |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cur_count FROM cb GROUP BY 1)
+           |SELECT COALESCE(rc.bucket, cc.bucket) AS bucket,
+           |  COALESCE(ref_count, CAST(0 AS BIGINT)) AS ref_count,
+           |  COALESCE(cur_count, CAST(0 AS BIGINT)) AS cur_count
+           |FROM rc FULL OUTER JOIN cc ON rc.bucket = cc.bucket
+           |ORDER BY bucket""".stripMargin,
 
       // embedding-decontam mirror: SRP buckets on BOTH tables from the
       // same sign-matrix literal, benchmark-side skew cap, bucket probe

@@ -328,6 +328,30 @@ object Similarity {
         col("_best.s").as("sim"), col("n_bench"))
   }
 
+  /** Embedding-DISTRIBUTION drift between two snapshots: SRP-bucket
+    * occupancy histograms of `ref` vs `cur` — the embedding counterpart of
+    * [[Checks.driftBins]]' value bins. An embedding-model regression or an
+    * upstream distribution shift moves vectors across hyperplanes and shows
+    * up as bucket-mass movement; feed the counts to [[Drift.psi]] (SRP
+    * buckets are nominal, not ordinal — KS does not apply). Cost shape: two
+    * narrow bucketing projections and two ≤2^bits-row partial-aggregable
+    * counts — the vectors themselves never shuffle, at any corpus size.
+    * Output: (bucket, ref_count, cur_count), absent side = 0. */
+  def embedDriftBins(
+      ref: DataFrame, cur: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      bits: Int = 6): DataFrame = {
+    def counts(df: DataFrame, name: String) =
+      srpFrame(df, idCol, vecCol, bits).groupBy("bucket")
+        .agg(count(lit(1)).as(name))
+    counts(ref, "ref_count")
+      .join(counts(cur, "cur_count"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("ref_count"), lit(0L)).as("ref_count"),
+        coalesce(col("cur_count"), lit(0L)).as("cur_count"))
+      .orderBy("bucket")
+  }
+
   /** Count of SRP buckets above the [[cosineNearDups]] skew cap — derived
     * from the same srpFrame hashing that does the pruning, so the metric
     * describes the buckets actually dropped. */

@@ -236,6 +236,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("embedDriftBins: identical snapshots are zero-drift; a flipped population moves bucket mass") {
+    val same = Similarity.embedDriftBins(emb, emb, bits = 4).collect()
+    same.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    assert(Drift.psi(same.map(_.getLong(1)).toSeq, same.map(_.getLong(2)).toSeq) === 0.0)
+    // current snapshot: half the vectors rectified (component-wise abs) —
+    // their mass concentrates on the positive side of every hyperplane, an
+    // occupancy shift PSI can see. Two fixtures that DON'T register, both
+    // measured: flipping one component of 64 (psi 0.007 — a 64-term dot
+    // rarely changes sign) and negating whole vectors (psi 0.02 — a
+    // measure-preserving involution on a symmetric distribution moves
+    // every vector but not the histogram)
+    val cur = emb.withColumn("embedding",
+      when(col("vec_id") % 2 === 0, transform(col("embedding"), x => abs(x)))
+        .otherwise(col("embedding")))
+    val bins = Similarity.embedDriftBins(emb, cur, bits = 4).collect()
+    // occupancy is conserved — only mass moves between buckets
+    assert(bins.map(_.getLong(1)).sum === bins.map(_.getLong(2)).sum)
+    val psi = Drift.psi(bins.map(_.getLong(1)).toSeq, bins.map(_.getLong(2)).toSeq)
+    assert(psi > 0.2, s"negated population must register drift, psi=$psi")
+    // partition-independence: bucketing is row-local, counts are partial aggs
+    val rep = Similarity.embedDriftBins(emb.repartition(7), cur.repartition(5), bits = 4)
+      .collect()
+    assert(rep.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet ===
+      bins.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("line scrub: recurring normalized lines removed, unique lines and order survive") {
     import spark.implicits._
     val corpus = Seq(

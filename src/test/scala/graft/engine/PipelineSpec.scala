@@ -214,6 +214,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(800))
   }
 
+  test("fuzzyDecontam non-broadcast scale path is bit-identical to the broadcast path") {
+    val corpus = docs.select("doc_id", "text")
+    val bench = corpus.where(col("doc_id") % 10 === 1)
+      .withColumn("text", concat(col("text"), lit(" extra trailing words appended")))
+    def rows(broadcastBench: Boolean) =
+      Pipeline.fuzzyDecontam(corpus, bench, "doc_id", "text",
+        threshold = 0.5, broadcastBenchmark = broadcastBench)
+        .collect().map(_.toSeq).toSet
+    // the escape hatch for benchmark sets too big for executor memory must
+    // change ONLY the join strategy, never the result
+    assert(rows(broadcastBench = false) === rows(broadcastBench = true))
+  }
+
   test("fuzzyDecontam agrees with minhashPairs on a shared self-join fixture") {
     // probing a corpus against ITSELF must reproduce minhashPairs'
     // verified pairs (both directions collapse to per-doc best matches)

@@ -698,17 +698,22 @@ object Dedup {
     val nodes = pairs.select(col("id_a").cast(LongType).as("id"))
       .union(pairs.select(col("id_b").cast(LongType).as("id")))
       .distinct().localCheckpoint(true)
-    // fixed-point signature: (edge count, order-independent xor of per-edge
-    // 64-bit hashes) in ONE partial aggregation — where the previous exact
-    // test ran two full `except` anti-joins (two extra shuffles) per round,
-    // which at 10⁹ edges × O(log n) rounds dominates the contraction itself.
-    // Sets are distinct post-canon, so xor cancellation needs a 2⁻⁶⁴ hash
-    // collision; `verifyConvergenceExactly` keeps the exact anti-join test
-    // alongside for specs/debug and asserts the two agree every round.
-    def sig(e: DataFrame): (Long, Long) = {
+    // fixed-point signature: (edge count, order-independent xors of TWO
+    // independently-keyed per-edge 64-bit hashes) in ONE partial
+    // aggregation — where the previous exact test ran two full `except`
+    // anti-joins (two extra shuffles) per round, which at 10⁹ edges ×
+    // O(log n) rounds dominates the contraction itself. Sets are distinct
+    // post-canon, so a false "converged" needs an xor cancellation on the
+    // symmetric difference in BOTH hash families simultaneously (~2⁻¹²⁸
+    // per round, and structured/adversarial id patterns that cancel
+    // xxhash64(u,v) do not also cancel the argument-swapped family);
+    // `verifyConvergenceExactly` keeps the exact anti-join test alongside
+    // for specs/debug and asserts the two agree every round.
+    def sig(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)),
-        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).collect()(0)
-      (r.getLong(0), r.getLong(1))
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L)),
+        coalesce(expr("bit_xor(xxhash64(v, u))"), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var edges = canon(pairs.select(col("id_a").cast(LongType).as("u"),
         col("id_b").cast(LongType).as("v")))

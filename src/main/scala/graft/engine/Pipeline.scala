@@ -275,9 +275,18 @@ object Pipeline {
       if (buckets > 0) buckets
       else {
         val stats = docs.queryExecution.optimizedPlan.stats
-        val estRows = stats.rowCount.map(_.longValue).getOrElse(
-          // no row estimate → assume ~512 B/doc over the plan's size estimate
-          math.max(1L, (stats.sizeInBytes / 512).longValue))
+        val defaultSize = BigInt(
+          docs.sparkSession.sessionState.conf.defaultSizeInBytes)
+        val estRows = stats.rowCount.map(_.longValue).getOrElse {
+          // typed/cached lineages without stats report defaultSizeInBytes
+          // (Long.MaxValue): trusting it would jump autoBuckets to the 1M
+          // cap on a tiny input — a 1M-row driver collect and a 1M-group
+          // aggregate for a 100-row corpus. An implausible size estimate
+          // (the sentinel or anything near it) falls back to a cheap
+          // count() instead; plans with real scan stats never hit this.
+          if (stats.sizeInBytes >= defaultSize) docs.count()
+          else math.max(1L, (stats.sizeInBytes / 512).longValue)
+        }
         autoBuckets(estRows)
       }
     val packKey = concat(lit("pack:"), col(idCol).cast(LongType).cast(StringType))

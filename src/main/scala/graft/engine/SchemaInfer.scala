@@ -42,6 +42,41 @@ object SchemaInfer {
   val enumMax = 16
   private val dateRx = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
 
+  /** Delimiter-safe encoding of a single enum value for the '|'-joined
+    * evidence CSV: '\' → '\\', '|' → '\|'. Injective, so set comparisons
+    * over escaped tokens are set comparisons over values. */
+  private[engine] def escapeEnumValue(v: String): String = {
+    val sb = new java.lang.StringBuilder(v.length + 4)
+    var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' || c == '|') sb.append('\\')
+      sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Split a '|'-joined evidence CSV into its ESCAPED tokens, honoring the
+    * [[escapeEnumValue]] encoding (a backslash escapes the next char, so an
+    * escaped '|' never splits). Inverse of the finish-side join; tokens stay
+    * escaped — comparisons only need injectivity, not the raw value. */
+  private[engine] def splitEnumValues(joined: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < joined.length) {
+      val c = joined.charAt(i)
+      if (c == '\\' && i + 1 < joined.length) {
+        sb.append(c).append(joined.charAt(i + 1)); i += 2
+      } else if (c == '|') {
+        out += sb.toString; sb.setLength(0); i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    out += sb.toString
+    out.result()
+  }
+
   /** UTF-8 byte order — what Spark's own string comparison (and therefore
     * the `array_sort` this aggregate replaced) uses; Java's natural String
     * order differs on supplementary characters. */
@@ -95,7 +130,15 @@ object SchemaInfer {
       def finish(r: EnumBuf): String =
         if (r.over || r.vals.isEmpty) null
         else {
+          // delimiter-safe: escape each value ('\'→'\\', '|'→'\|') BEFORE
+          // sorting, so the join order is the byte order of the ESCAPED
+          // tokens — the only order a SQL mirror constrained to
+          // `string_agg(DISTINCT escaped ORDER BY escaped)` can reproduce.
+          // Without this, a value containing '|' fragments on the split in
+          // contractBreaks' enum-subset test, raising phantom breaks and
+          // masking genuinely out-of-contract values.
           val arr = r.vals.toArray(new Array[String](r.vals.size))
+            .map(escapeEnumValue)
           java.util.Arrays.sort(arr, Utf8Order)
           arr.mkString("|")
         }
@@ -332,9 +375,11 @@ object SchemaInfer {
               // outside values appeared, or the set outgrew the enum cap;
               // an all-null batch column (curHasValues false) carries no
               // enum evidence either way — same reasoning as `format`
+              // escape-aware split: a value containing '|' must not
+              // fragment into phantom enum members (ADVICE r4)
               curHasValues && re.exists { rvs =>
                 ce.forall(cvs =>
-                  (cvs.split("\\|").toSet -- rvs.split("\\|").toSet).nonEmpty)
+                  (splitEnumValues(cvs).toSet -- splitEnumValues(rvs).toSet).nonEmpty)
               }
             else re != ce && (re.nonEmpty || ce.nonEmpty)
           if (enumDrift) emit(path, "enum", None, None, re, ce)

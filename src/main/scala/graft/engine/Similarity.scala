@@ -133,25 +133,50 @@ object Similarity {
     }
 
   /** The sign matrix as a DuckDB nested-list literal, so oracle SQL can
-    * recompute buckets independently (`s[j][i]`, 1-based). */
+    * recompute buckets independently (`s[j][i]`, 1-based). Emitted as
+    * integer ±1 so the mirror's fixed-point dot (see [[srpBucketOf]]) stays
+    * in BIGINT arithmetic end to end. */
   def srpSignsSqlLiteral(bits: Int, dim: Int): String =
     srpSigns(bits, dim)
-      .map(_.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
+      .map(_.map(v => if (v > 0) "1" else "-1").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-  /** Typed-projection SRP bucketing: (id, vec, bucket) where bucket bit j =
-    * sign(vec · hyperplane_j). One narrow codegen-free-but-compiled map —
-    * no interpreted lambdas, no shuffle. */
-  /** Per-vector SRP bucket (bit j = sign(vec · hyperplane_j)); the caller
-    * manages the `signs` cache across a partition. */
+  /** Fixed-point scale for the SRP dot product: 2²⁰. A power of two, so
+    * `x.toDouble * srpFixedScale` is EXACT for every float `x` (only the
+    * exponent moves), and `floor` of it is a deterministic integer on any
+    * engine. */
+  private[graft] val srpFixedScale = 1048576.0
+
+  /** Per-vector SRP bucket: bit j is set iff the FIXED-POINT dot
+    * Σᵢ signⱼᵢ · ⌊vecᵢ · 2²⁰⌋ is > 0, summed in 64-bit integer arithmetic.
+    *
+    * Integer-exact by design, the same discipline as [[HashSql]]'s
+    * md5+splitmix text hashes: a float dot's value near zero depends on
+    * summation ORDER (the sequential Scala fold vs DuckDB's `list_sum`
+    * disagreed on boundary vectors — the round-4 `q_embed_drift` hash
+    * mismatch), while ⌊x·2²⁰⌋ is exact for float inputs and an integer sum
+    * is order-free on every engine. Overflow headroom: |term| ≤ 2²⁰·|x|,
+    * so even 10⁶-dim vectors with |x| ≤ 10³ stay < 2⁵⁰ — unreachable for
+    * unit-scale embeddings. The caller manages the `signs` cache across a
+    * partition. */
   private[engine] def srpBucketOf(
       signs: Array[Array[Double]], vec: Array[Float], bits: Int): Long = {
+    val fixed = new Array[Long](vec.length)
+    var i = 0
+    while (i < vec.length) {
+      fixed(i) = math.floor(vec(i).toDouble * srpFixedScale).toLong
+      i += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < bits) {
       val row = signs(j)
-      var dot = 0.0; var i = 0
-      while (i < vec.length) { dot += vec(i).toDouble * row(i); i += 1 }
+      var dot = 0L
+      i = 0
+      while (i < vec.length) {
+        dot += (if (row(i) > 0) fixed(i) else -fixed(i))
+        i += 1
+      }
       if (dot > 0) bucket |= (1L << j)
       j += 1
     }

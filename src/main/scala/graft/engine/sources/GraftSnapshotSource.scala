@@ -72,10 +72,16 @@ object GraftSnapshotSource {
   def snapshots(root: String): Seq[String] = {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(n => n.startsWith("_graft_manifest_") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("_graft_manifest_").stripSuffix(".json"))
-      .toSeq.sorted
+    else {
+      // Files.list holds a directory handle until closed — resolveDir can
+      // call this twice per failed lookup, so an unclosed stream leaks fds
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("_graft_manifest_") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_graft_manifest_").stripSuffix(".json"))
+        .toSeq.sorted
+      finally s.close()
+    }
   }
 }

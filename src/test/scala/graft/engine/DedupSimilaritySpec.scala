@@ -262,6 +262,52 @@ class DedupSimilaritySpec extends AnyFunSuite {
       bins.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
   }
 
+  test("SRP bucket bits are integer-exact: order-free and equal to the SQL-mirror arithmetic on boundary vectors") {
+    // Boundary-adversarial vectors: dots that a FLOAT fold evaluates within
+    // ±1 ulp of zero depending on summation order (the round-4 q_embed_drift
+    // hash mismatch). The fixed-point formulation must give the same bucket
+    // for ANY summation order — simulated here with the exact BigInt sum of
+    // the mirror's per-component ⌊x·2²⁰⌋ terms and with reversed/shuffled
+    // fold orders.
+    val bits = 4
+    val dim = 64
+    val signs = Similarity.srpSigns(bits, dim)
+    val rng = new scala.util.Random(12345)
+    val adversarial: Seq[Array[Float]] =
+      // exact cancellations: +x then -x in some order, dot exactly 0
+      Seq.tabulate(32) { t =>
+        val v = new Array[Float](dim)
+        for (i <- 0 until dim / 2) {
+          val x = (rng.nextFloat() - 0.5f) * 2f
+          v(2 * i) = x; v(2 * i + 1) = if (signs(t % bits)(2 * i) == signs(t % bits)(2 * i + 1)) -x else x
+        }
+        v
+      } ++
+      // near-zero dots: tiny components around the fixed-point grid
+      Seq.tabulate(64) { _ =>
+        Array.fill(dim)(((rng.nextInt(5) - 2).toFloat) / Similarity.srpFixedScale.toFloat)
+      } ++
+      // rectified vectors (the drift fixture shape)
+      Seq.tabulate(32) { _ => Array.fill(dim)(math.abs(rng.nextFloat() - 0.5f)) }
+    adversarial.foreach { vec =>
+      val got = Similarity.srpBucketOf(signs, vec, bits)
+      // mirror arithmetic: exact BigInt sum of floor(x·2^20)·sign, any order
+      var mirror = 0L
+      for (j <- 0 until bits) {
+        val terms = vec.indices.map { i =>
+          val q = BigInt(math.floor(vec(i).toDouble * Similarity.srpFixedScale).toLong)
+          if (signs(j)(i) > 0) q else -q
+        }
+        val dotFwd = terms.sum
+        val dotRev = terms.reverse.sum
+        val dotShuf = rng.shuffle(terms.toVector).sum
+        assert(dotFwd === dotRev && dotFwd === dotShuf) // order-free by construction
+        if (dotFwd > 0) mirror |= (1L << j)
+      }
+      assert(got === mirror, s"bucket mismatch on ${vec.take(8).mkString(",")}…")
+    }
+  }
+
   test("line scrub: recurring normalized lines removed, unique lines and order survive") {
     import spark.implicits._
     val corpus = Seq(

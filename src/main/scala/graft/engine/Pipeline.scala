@@ -580,24 +580,34 @@ object Pipeline {
       budget: Long = 2048, buckets: Int = 32, salt: Int = 0): Curation = {
     val base = docs.select(col(idCol).cast(LongType).as("doc_id"),
       coalesce(col(textCol), lit("")).as("text"))
-    val verdicts = qualityVerdictsWithText(base, "doc_id", "text")
-    val quality = verdicts.select("doc_id", "tokens", "reasons", "keep")
-    // inline filter — no verdict-to-corpus semi-join, the text rode along.
-    // MATERIALIZE the kept frame (tracked MEMORY_AND_DISK, the standard
-    // inter-phase materialization of a curation run): it feeds BOTH the
-    // keepBest clustering and the canonical semi-join, so without the cache
-    // the full quality stage executes twice — and, worse, its ~200-node
+    // MATERIALIZE the full verdict frame ONCE (tracked MEMORY_AND_DISK —
+    // the sandbox stand-in for writing the quality snapshot table): the
+    // ~200-node rule pass is the chain's dominant cost (34 s of a 67 s
+    // composed run at 5M docs, CurateBench), and it feeds BOTH the quality
+    // audit artifact and the kept corpus, so without this barrier a
+    // multi-artifact consumer (CurateMain) executes it twice — and its
     // expression tree re-fuses into every downstream stage's whole-stage-
     // codegen class (filter, join, split, packing variants), generating
-    // janino compiles of the same giant projection 5+ times per run
-    // (measured: the chain's cold wall time halves with the barrier).
-    // Downstream stages now compile against three narrow cached columns.
-    val kept = Caches.persistTracked(
-      verdicts.where(col("keep")).select("doc_id", "text"))
-    val clusters = Dedup.keepBest(kept, "doc_id", "text")
+    // janino compiles of the same giant projection 5+ times per run.
+    // Downstream stages compile against narrow cached columns instead,
+    // and the keep filter reads a cached boolean rather than inlining the
+    // rule tree into a fused predicate (the 22k-bytecode JIT-refused
+    // method BASELINE.md round 5 documents).
+    val verdicts = Caches.persistTracked(
+      qualityVerdictsWithText(base, "doc_id", "text"))
+    val quality = verdicts.select("doc_id", "tokens", "reasons", "keep")
+    // inline filter over the cache — no verdict-to-corpus semi-join
+    val kept = verdicts.where(col("keep")).select("doc_id", "text")
+    // clusters and curated are ALSO inter-phase barriers: a multi-artifact
+    // consumer (CurateMain writes clusters + curated + packed) would
+    // otherwise re-run the keepBest window per artifact (clusters feeds its
+    // own write AND the canonical semi-join) and the semi-join + split per
+    // downstream (curated feeds its write AND the packing lineage). Both
+    // caches are tracked and dropped by Caches.releaseAll().
+    val clusters = Caches.persistTracked(Dedup.keepBest(kept, "doc_id", "text"))
     val canon = kept.join(
       clusters.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
-    val curated = withSplit(canon, "doc_id", salt = salt)
+    val curated = Caches.persistTracked(withSplit(canon, "doc_id", salt = salt))
     val packed = packChunks(
       curated.where(col("split") === "train"), "doc_id", "text", budget, buckets)
     Curation(curated, packed, quality, clusters)

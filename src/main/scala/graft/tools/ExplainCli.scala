@@ -11,7 +11,7 @@ object ExplainCli {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", false).getOrCreate()
+      .config("spark.ui.enabled", false).config("spark.sql.codegen.hugeMethodLimit", 8000).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).headOption match {
       case Some(q) =>

@@ -563,6 +563,22 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Incrementally assign NEW vectors against a persisted index's FROZEN
+    * centroids and APPEND them to its cell layout — the between-retrains
+    * ingestion path of [[writeIvfIndex]]'s staleness note: new snapshot
+    * batches join the index without retraining (cells stay valid; recall
+    * degrades only if the embedding distribution moves — watch
+    * [[embedDriftBins]]). One broadcast + one narrow projection + an
+    * append write into the same partitioned layout; no shuffle. */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String, vecs: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val idx = loadIvfIndex(spark, path)
+    val bc = spark.sparkContext.broadcast(idx.centroids)
+    cellFrame(vecs, idCol, vecCol, bc)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Load a [[writeIvfIndex]] index. Centroids are ≤ nlist rows (driver-
     * bounded by construction); the cell frame is lazy. */
   def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {

@@ -131,4 +131,41 @@ class BucketedIndexSpec extends AnyFunSuite {
       new Directory(new java.io.File(path)).deleteRecursively()
     }
   }
+
+  test("IVF incremental append: new vectors join the frozen index; exhaustive probe equals brute force over the union") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 5)
+    // the new batch: near-copies of existing vectors under fresh ids —
+    // they must land in their originals' cells and appear in results
+    val batch = emb.where(col("vec_id") % 100 === 7)
+      .withColumn("vec_id", col("vec_id") + 5000000)
+      .withColumn("embedding", transform(col("embedding"), x => x * lit(1.0005f)))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    try {
+      Similarity.writeIvfIndex(emb, path, nlist = 8)
+      Similarity.appendToIvfIndex(spark, path, batch)
+      val idx = Similarity.loadIvfIndex(spark, path)
+      assert(idx.cells.count() === emb.count() + batch.count())
+      // exhaustive probing (nProbe = nlist) over the appended index must
+      // EQUAL exact brute force over the union corpus — the appended rows
+      // are fully first-class index members
+      val viaIndex = Similarity.ivfTopKIndexed(idx, queries, k = 3, nProbe = 8)
+        .collect().map(_.toSeq).toSeq
+      val exact = Similarity.bruteForceTopK(
+          emb.unionByName(batch), queries, k = 3)
+        .collect().map(_.toSeq).toSeq
+      assert(viaIndex === exact)
+      // the rescaled twins are cosine-identical to their originals, so at
+      // least one appended id must actually surface in someone's top-k
+      // (vec_id 7 % 100 == 7 twin of a query-adjacent vector may or may
+      // not rank; assert membership over ALL corpus vectors' neighbors)
+      val wide = Similarity.ivfTopKIndexed(idx,
+        emb.where(col("vec_id") % 100 === 7), k = 1, nProbe = 8).collect()
+      assert(wide.exists(_.getLong(2) >= 5000000),
+        "an appended twin must be its original's nearest neighbor")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(path)).deleteRecursively()
+    }
+  }
 }

@@ -192,7 +192,9 @@ object SparkEntry {
         .withColumn("l_shipdate",
           when(col("l_orderkey") % 17 === 1, lit(null).cast("timestamp"))
             .otherwise(col("l_shipdate")))
-      SchemaInfer.evidenceDiff(SchemaInfer.evidence(ref), SchemaInfer.evidence(cur))
+      // single tagged pass over both snapshots (half the stages / generated
+      // classes of the two-pass evidenceDiff; identical output, spec-pinned)
+      SchemaInfer.evidenceDiffPaired(ref, cur)
     }),
 
     "q_drift_bins" -> ((s, dir) =>

@@ -193,23 +193,28 @@ object SchemaInfer {
     frames(df).map { case (frame, leaves) => frameEvidence(frame, leaves) }
       .reduce(_.unionAll(_)).orderBy("path")
 
-  /** (frame, its leaves) for the root and every array descent, recursively. */
-  private def frames(df: DataFrame): Seq[(DataFrame, Seq[Leaf])] = {
+  /** (frame, its leaves) for the root and every array descent, recursively.
+    * `carry` names a tag column that is NOT evidence (no leaf for it) but
+    * must ride through every array-descent frame — the two-snapshot
+    * single-pass path groups each branch aggregate by it. */
+  private def frames(
+      df: DataFrame, carry: Option[String] = None): Seq[(DataFrame, Seq[Leaf])] = {
     def rec(frame: DataFrame, roots: Seq[(String, Column, DataType, Boolean)])
         : Seq[(DataFrame, Seq[Leaf])] = {
       val parts = roots.map { case (p, c, t, n) => leavesOf(p, c, t, n) }
       val own = (frame, parts.flatMap(_._1))
       val kids = parts.flatMap(_._2).flatMap { case (path, expr, elem, elemNullable) =>
-        rec(frame.select(explode(expr).as("__item")),
+        rec(frame.select(carry.map(col).toSeq :+ explode(expr).as("__item"): _*),
           Seq((path, col("__item"), elem, elemNullable)))
       }
       own +: kids
     }
-    rec(df, df.schema.fields.toSeq.map(f =>
+    rec(df, df.schema.fields.toSeq.filterNot(f => carry.contains(f.name)).map(f =>
       (s"/${f.name}", col(f.name), f.dataType, f.nullable)))
   }
 
-  private def frameEvidence(df: DataFrame, leaves: Seq[Leaf]): DataFrame = {
+  private def frameEvidence(
+      df: DataFrame, leaves: Seq[Leaf], group: Option[String] = None): DataFrame = {
     val nullLong = lit(null).cast(LongType)
     val nullDouble = lit(null).cast(DoubleType)
     val nullStr = lit(null).cast(StringType)
@@ -246,7 +251,10 @@ object SchemaInfer {
     // FASTER than one fused agg, whose many exact count_distincts force
     // an Expand (input × distinct-groups row multiplication) through one
     // shuffle (lineitem sf0.1: ~0.8 s pruned-branches vs ~4 s fused).
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val one = group match {
+      case Some(g) => df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
     val rows = leaves.zipWithIndex.map { case (lf, i) =>
       val total = col("__total")
       val nulls = col(s"n$i")
@@ -275,16 +283,18 @@ object SchemaInfer {
         case _ => nullStr
       }
       one.select(
-        lit(lf.path).as("path"),
-        jsonType.as("json_type"),
-        (nulls === 0 && total > 0).as("required"),
-        (if (hasNum) col(s"mn$i") else nullDouble).as("min_value"),
-        (if (hasNum) col(s"mx$i") else nullDouble).as("max_value"),
-        (if (hasLen) col(s"lmn$i") else nullLong).as("min_len"),
-        (if (hasLen) col(s"lmx$i") else nullLong).as("max_len"),
-        (if (hasDistinct) col(s"d$i") else nullLong).as("distinct_count"),
-        enumVals.as("enum_vals"),
-        fmt.as("format"))
+        Seq(
+          lit(lf.path).as("path"),
+          jsonType.as("json_type"),
+          (nulls === 0 && total > 0).as("required"),
+          (if (hasNum) col(s"mn$i") else nullDouble).as("min_value"),
+          (if (hasNum) col(s"mx$i") else nullDouble).as("max_value"),
+          (if (hasLen) col(s"lmn$i") else nullLong).as("min_len"),
+          (if (hasLen) col(s"lmx$i") else nullLong).as("max_len"),
+          (if (hasDistinct) col(s"d$i") else nullLong).as("distinct_count"),
+          enumVals.as("enum_vals"),
+          fmt.as("format")) ++
+        group.map(g => col(g).as("__side")).toSeq: _*)
     }
     rows.reduce(_.unionAll(_))
   }
@@ -341,6 +351,48 @@ object SchemaInfer {
     val fCm = Future(byPath(curEv))
     val rm = Await.result(fRm, Duration.Inf)
     val cm = Await.result(fCm, Duration.Inf)
+    diffCollected(spark, rm, cm, breaksOnly)
+  }
+
+  /** Contract drift between two SAME-SCHEMA snapshots with the evidence for
+    * BOTH sides computed in ONE tagged pass: the snapshots union under a
+    * side tag and every per-leaf branch aggregate runs `groupBy(side)` —
+    * half the stages and half the generated classes of
+    * `evidenceDiff(evidence(ref), evidence(cur))`, with identical output
+    * when both sides are non-empty. (An EMPTY side has no group row, so its
+    * paths report as added/removed rather than as zero-count evidence —
+    * for micro-batch monitoring against a precomputed reference use
+    * [[contractBreaks]], which takes the reference evidence as a frame.) */
+  def evidenceDiffPaired(
+      ref: DataFrame, cur: DataFrame, breaksOnly: Boolean = false): DataFrame = {
+    // same column NAMES required; types are reconciled by the union's own
+    // widening rules (a when()-mutated snapshot column may flip nullability
+    // or widen a decimal without changing the contract shape — required-ness
+    // and integer-vs-number are measured from the DATA, and lossless
+    // widening preserves the data). Irreconcilable types fail in Spark's
+    // union analysis with its own error.
+    require(ref.columns.toSeq == cur.columns.toSeq,
+      "evidenceDiffPaired needs same-column snapshots; use evidenceDiff for heterogeneous frames")
+    val side = "__graft_side"
+    val cols = ref.columns.map(col).toSeq
+    val tagged = ref.select(lit("r").as(side) +: cols: _*)
+      .unionByName(cur.select(lit("c").as(side) +: cols: _*))
+    val ev = frames(tagged, carry = Some(side))
+      .map { case (frame, leaves) => frameEvidence(frame, leaves, Some(side)) }
+      .reduce(_.unionAll(_))
+    val spark = ref.sparkSession
+    val rows = ev.collect() // one row per (path, side) — always tiny
+    def byPath(tag: String) =
+      rows.filter(_.getString(10) == tag).map(r => r.getString(0) -> r).toMap
+    diffCollected(spark, byPath("r"), byPath("c"), breaksOnly)
+  }
+
+  private def diffCollected(
+      spark: org.apache.spark.sql.SparkSession,
+      rm: Map[String, org.apache.spark.sql.Row],
+      cm: Map[String, org.apache.spark.sql.Row],
+      breaksOnly: Boolean): DataFrame = {
+    import org.apache.spark.sql.Row
     def dOpt(r: Row, i: Int): Option[Double] =
       if (r.isNullAt(i)) None else Some(r.getDouble(i))
     def lOpt(r: Row, i: Int): Option[Long] =

@@ -26,6 +26,7 @@ object DriftProbe {
     t("evidence(ref-half)") { SchemaInfer.evidence(ref).collect() }
     t("evidence(cur-mutated)") { SchemaInfer.evidence(cur).collect() }
     t("full-drift") { SchemaInfer.evidenceDiff(SchemaInfer.evidence(ref), SchemaInfer.evidence(cur)).collect() }
+    t("full-drift-paired") { SchemaInfer.evidenceDiffPaired(ref, cur).collect() }
     spark.stop()
   }
 }

@@ -210,6 +210,33 @@ class SchemaInferSpec extends AnyFunSuite {
     assert(audit.contains(("/color", "enum")))
   }
 
+  test("evidenceDiffPaired equals the two-pass diff, including nested array frames and breaksOnly") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "red", 1.5d, Some("2021-01-01"), Seq("a", "bb")),
+      (2L, "blue", 9.0d, Some("2022-06-30"), Seq("ccc"))
+    ).toDF("id", "color", "score", "day", "tags")
+    val cur = Seq(
+      (9L, "green", 2.75d, None: Option[String], Seq("dddd", "e", "f")),
+      (3L, "red", 11.5d, Some("2023-01-02"), Seq[String]())
+    ).toDF("id", "color", "score", "day", "tags")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    for (breaksOnly <- Seq(false, true)) {
+      val twoPass =
+        if (breaksOnly) SchemaInfer.contractBreaks(
+          SchemaInfer.evidence(ref), SchemaInfer.evidence(cur))
+        else SchemaInfer.evidenceDiff(
+          SchemaInfer.evidence(ref), SchemaInfer.evidence(cur))
+      val paired = SchemaInfer.evidenceDiffPaired(ref, cur, breaksOnly)
+      assert(canon(paired) === canon(twoPass), s"breaksOnly=$breaksOnly")
+    }
+    // the tagged union must not leak the side column as an evidence path
+    val paths = SchemaInfer.evidenceDiffPaired(ref, cur)
+      .select("path").collect().map(_.getString(0))
+    assert(!paths.exists(_.contains("__graft_side")))
+  }
+
   test("enum evidence survives cross-partition merge and caps past enumMax") {
     import spark.implicits._
     // 3 distinct values scattered over 8 partitions: partial buffers merge

@@ -249,11 +249,20 @@ object Bench {
     }
     val fullJson = assemble(queriesJson(v => f"$v%.3f"), perLevel = true)
     // stdout budget: tail(2000) minus sbt's trailing "[success] …" line
-    // (~80 chars) — coarsen query precision further if a grown query set
-    // overflows it (full 3dp timings always land in the file artifact)
-    val line0 = assemble(queriesJson(fmtShort), perLevel = false)
-    val line = if (line0.length <= 1850) line0
-      else assemble(queriesJson(v => f"$v%.1f"), perLevel = false)
+    // (~80 chars) — coarsen query precision step-by-step if a grown query
+    // set overflows it (full 3dp timings always land in the file artifact);
+    // the last step warns loudly rather than silently truncating mid-JSON
+    val line = Seq(
+      () => assemble(queriesJson(fmtShort), perLevel = false),
+      () => assemble(queriesJson(v => f"$v%.1f"), perLevel = false),
+      () => assemble(queriesJson(v => f"$v%.0f"), perLevel = false))
+      .view.map(_.apply()).find(_.length <= 1850)
+      .getOrElse {
+        System.err.println("[bench] metrics line exceeds the driver tail " +
+          "budget even at 0dp — the query set has outgrown the stdout " +
+          "artifact; shorten names or raise the driver capture")
+        assemble(queriesJson(v => f"$v%.0f"), perLevel = false)
+      }
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (fullJson + "\n").getBytes("UTF-8"))

@@ -95,7 +95,10 @@ object CurateBench {
       s""""stage_total_sec":${f"${stages.map(_._2).sum}%.2f"},""" +
       s""""composed_sec":${f"$composed%.2f"},""" +
       s""""composed_docs_per_sec":${f"${n / composed}%.0f"},""" +
-      s""""peak_heap_gb":${f"${peakHeap / (1L << 30)}%d"}}"""
+      // 1dp double, not truncating integer division — a 0.9 GB peak must
+      // not report as 0 (per-pool peaks are summed, so this reads as an
+      // upper bound: pools may peak at different instants)
+      s""""peak_heap_gb":${f"${peakHeap / (1L << 30).toDouble}%.1f"}}"""
     println(json)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outPath), (json + "\n").getBytes("UTF-8"))

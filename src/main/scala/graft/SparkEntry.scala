@@ -27,7 +27,21 @@ object SparkEntry {
     * the partition-pruned cell layout instead of retraining. Versioned path
     * so a format change never reads a stale layout. */
   private def ivfIndex(s: SparkSession, dir: String): Similarity.IvfIndex = {
-    val p = s"/tmp/graft-ivf/${new java.io.File(dir).getName}-nlist8-v1"
+    // cache key carries a SOURCE-CONTENT stamp (file names + sizes +
+    // mtimes of the embeddings parquet), not just the directory basename:
+    // a regenerated dataset, or a different tree whose leaf dir happens to
+    // share the name, must rebuild rather than silently probe a stale
+    // index from an earlier corpus
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val stamp = {
+      val files = Option(src.listFiles()).map(_.toSeq).getOrElse(Seq(src))
+      val desc = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+        .sorted.mkString("|")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(desc.getBytes("UTF-8")).take(6)
+        .map("%02x".format(_)).mkString
+    }
+    val p = s"/tmp/graft-ivf/${new java.io.File(dir).getName}-nlist8-v1-$stamp"
     if (!new java.io.File(s"$p/cells/_SUCCESS").exists())
       Similarity.writeIvfIndex(
         s.read.parquet(s"$dir/embeddings.parquet"), p, nlist = 8)

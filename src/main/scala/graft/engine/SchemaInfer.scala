@@ -377,13 +377,46 @@ object SchemaInfer {
     val cols = ref.columns.map(col).toSeq
     val tagged = ref.select(lit("r").as(side) +: cols: _*)
       .unionByName(cur.select(lit("c").as(side) +: cols: _*))
-    val ev = frames(tagged, carry = Some(side))
+    val framesAndLeaves = frames(tagged, carry = Some(side))
+    val ev = framesAndLeaves
       .map { case (frame, leaves) => frameEvidence(frame, leaves, Some(side)) }
       .reduce(_.unionAll(_))
     val spark = ref.sparkSession
     val rows = ev.collect() // one row per (path, side) — always tiny
-    def byPath(tag: String) =
-      rows.filter(_.getString(10) == tag).map(r => r.getString(0) -> r).toMap
+    // a side whose rows never REACH a frame (e.g. an array column that is
+    // all-empty/null on that side: explode drops every row before the
+    // grouped aggregate) has no group row for the frame's paths. The
+    // schemas are identical by construction, so a missing (path, side) can
+    // ONLY mean zero rows — synthesize exactly the zero-count evidence the
+    // two-pass evidence() produces for an empty frame (a global aggregate
+    // always emits one row), keeping paired ≡ two-pass instead of leaking
+    // phantom added/removed aspects.
+    def zeroRow(lf: Leaf): org.apache.spark.sql.Row = {
+      val jsonType = lf.kind match {
+        case KInt => "integer"
+        case KNum => "integer" // vacuous whole-ness over zero rows
+        case KStr | KDate | KTs => "string"
+        case KBool => "boolean"
+        case KArr => "array"
+        case KObj => "object"
+      }
+      val hasDistinct = lf.kind == KInt || lf.kind == KNum ||
+        lf.kind == KStr || lf.kind == KBool
+      val fmt = lf.kind match {
+        case KDate => "date"
+        case KTs => "date-time"
+        case _ => null
+      }
+      org.apache.spark.sql.Row(lf.path, jsonType, false,
+        null, null, null, null,
+        if (hasDistinct) 0L else null, null, fmt)
+    }
+    val leavesByPath = framesAndLeaves.flatMap(_._2).map(l => l.path -> l).toMap
+    def byPath(tag: String) = {
+      val present = rows.filter(_.getString(10) == tag)
+        .map(r => r.getString(0) -> r).toMap
+      leavesByPath.map { case (p, lf) => p -> present.getOrElse(p, zeroRow(lf)) }
+    }
     diffCollected(spark, byPath("r"), byPath("c"), breaksOnly)
   }
 

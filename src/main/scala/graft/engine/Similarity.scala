@@ -615,7 +615,7 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
-    val q = queries
+    val q0 = queries
       .select(col(idCol).cast(LongType).as("id_a"),
         col(vecCol).cast("array<float>").as("vec_a"))
       .as[(Long, Array[Float])]
@@ -625,6 +625,10 @@ object Similarity {
           .take(nProbe).map { case (cell, _) => (id, vec, cell) }
       }
       .toDF("id_a", "vec_a", "cell")
+    // under pruning the query assignment feeds TWO consumers (the probed-
+    // cell collect and the join) — cache it so the flatMap lineage runs
+    // once (tracked, released by the caller's Caches.releaseAll)
+    val q = if (pruneCells) q0.persistTracked() else q0
     val c =
       if (!pruneCells) cellsFrame
       else {

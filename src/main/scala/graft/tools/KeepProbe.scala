@@ -37,6 +37,10 @@ object KeepProbe {
         .where(col("keep")).select("doc_id", "text").count()
     }
     time("chain+cache (curate shape)") {
+      // drop the warm run's cache FIRST — otherwise Spark's CacheManager
+      // matches the identical logical plan and this times a cache HIT,
+      // underreporting exactly the shape under investigation
+      graft.engine.Caches.releaseAll()
       graft.engine.Caches.persistTracked(
         Pipeline.qualityVerdictsWithText(docs, "doc_id", "text")
           .where(col("keep")).select("doc_id", "text")).count()

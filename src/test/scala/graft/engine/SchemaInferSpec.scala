@@ -235,6 +235,27 @@ class SchemaInferSpec extends AnyFunSuite {
     val paths = SchemaInfer.evidenceDiffPaired(ref, cur)
       .select("path").collect().map(_.getString(0))
     assert(!paths.exists(_.contains("__graft_side")))
+    // one side's array column all-empty: no row reaches the /tags/* frame
+    // for that side, so the grouped aggregate emits no group row — the
+    // paired diff must synthesize the zero-count evidence the two-pass
+    // produces for an empty frame, not phantom added/removed aspects
+    val curEmptyTags = Seq(
+      (9L, "red", 2.0d, Some("2023-01-02"), Seq[String]()),
+      (3L, "blue", 3.0d, Some("2023-01-03"), Seq[String]())
+    ).toDF("id", "color", "score", "day", "tags")
+    for (breaksOnly <- Seq(false, true)) {
+      val twoPass =
+        if (breaksOnly) SchemaInfer.contractBreaks(
+          SchemaInfer.evidence(ref), SchemaInfer.evidence(curEmptyTags))
+        else SchemaInfer.evidenceDiff(
+          SchemaInfer.evidence(ref), SchemaInfer.evidence(curEmptyTags))
+      val paired = SchemaInfer.evidenceDiffPaired(ref, curEmptyTags, breaksOnly)
+      assert(canon(paired) === canon(twoPass), s"empty-array side, breaksOnly=$breaksOnly")
+      assert(!paired.collect().exists(r =>
+        r.getString(0).startsWith("/tags/") &&
+          (r.getString(1) == "added" || r.getString(1) == "removed")),
+        "all-empty array side must not report phantom added/removed")
+    }
   }
 
   test("enum evidence survives cross-partition merge and caps past enumMax") {

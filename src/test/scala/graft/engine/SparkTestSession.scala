@@ -12,8 +12,14 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
-      // keep saveAsTable specs (bucketed index) out of the repo tree
-      .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+      // keep saveAsTable specs (bucketed index) out of the repo tree, in a
+      // FRESH per-JVM directory: the in-memory catalog dies with the JVM
+      // but a fixed warehouse dir would not, and a killed run (OOM, CI
+      // timeout) that skips a spec's DROP TABLE finally-block would leave
+      // a husk that fails the next run's overwrite-create with
+      // "location already exists"
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-test-warehouse").toString)
       // cap fused codegen at HotSpot's JIT refusal threshold: a fused
       // method > 8000 bytecodes NEVER JIT-compiles (measured 10x interpreted
       // cliff on the quality-filter stage, BASELINE.md round 5); past the cap

@@ -21,11 +21,8 @@ object AnnBench {
       .appName(s"graft-annbench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus * 2)
       .config("spark.ui.enabled", "false")
-      // cap fused codegen at HotSpot's JIT refusal threshold: a fused
-      // method > 8000 bytecodes NEVER JIT-compiles (measured 10x interpreted
-      // cliff on the quality-filter stage, BASELINE.md round 5); past the cap
-      // Spark falls back to the un-fused path, which stays JIT-hot
-      .config("spark.sql.codegen.hugeMethodLimit", 8000)
+      // engine-wide tuning (JIT-safe codegen cap) — see graft.engine.GraftSession
+      .config("spark.sql.codegen.hugeMethodLimit", graft.engine.GraftSession.hugeMethodLimit)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

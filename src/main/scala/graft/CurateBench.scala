@@ -38,7 +38,7 @@ object CurateBench {
       .appName("graft-curate-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false").config("spark.sql.codegen.hugeMethodLimit", 8000).getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.codegen.hugeMethodLimit", graft.engine.GraftSession.hugeMethodLimit).getOrCreate() // JIT-safe codegen cap, see GraftSession
     spark.sparkContext.setLogLevel("WARN")
     val table = DedupBench.corpusTable(spark, sfDir, replicate)
     val docs = spark.read.parquet(table)

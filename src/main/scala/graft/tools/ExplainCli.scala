@@ -11,7 +11,7 @@ object ExplainCli {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", 8)
-      .config("spark.ui.enabled", false).config("spark.sql.codegen.hugeMethodLimit", 8000).getOrCreate()
+      .config("spark.ui.enabled", false).config("spark.sql.codegen.hugeMethodLimit", graft.engine.GraftSession.hugeMethodLimit).getOrCreate() // JIT-safe codegen cap, see GraftSession
     spark.sparkContext.setLogLevel("ERROR")
     args.drop(1).headOption match {
       case Some(q) =>

@@ -20,7 +20,7 @@ object RepProbe {
     val mode = sys.env.getOrElse("SPARK_GRAFT_PROBE_MODE", "solo")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 64)
-      .config("spark.ui.enabled", "false").config("spark.sql.codegen.hugeMethodLimit", 8000).getOrCreate()
+      .config("spark.ui.enabled", "false").config("spark.sql.codegen.hugeMethodLimit", graft.engine.GraftSession.hugeMethodLimit).getOrCreate() // JIT-safe codegen cap, see GraftSession
     spark.sparkContext.setLogLevel("WARN")
     val table = graft.DedupBench.corpusTable(spark, "/root/testdata/sf0.1", rep)
     val docs = spark.read.parquet(table)

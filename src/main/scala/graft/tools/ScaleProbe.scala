@@ -12,7 +12,7 @@ object ScaleProbe {
     // materialize once
     locally {
       val s = SparkSession.builder().master("local[32]")
-        .config("spark.sql.shuffle.partitions", 32).config("spark.ui.enabled", false).config("spark.sql.codegen.hugeMethodLimit", 8000).getOrCreate()
+        .config("spark.sql.shuffle.partitions", 32).config("spark.ui.enabled", false).config("spark.sql.codegen.hugeMethodLimit", graft.engine.GraftSession.hugeMethodLimit).getOrCreate() // JIT-safe codegen cap, see GraftSession
       s.sparkContext.setLogLevel("ERROR")
       if (!new java.io.File(table, "_SUCCESS").exists())
         DocTable.docs(s, sfDir, 8000, partitions = 64).repartition(256)

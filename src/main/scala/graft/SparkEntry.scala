@@ -1686,7 +1686,7 @@ object SparkEntry {
            |cb AS (SELECT ${srpBucketSql("embedding")} AS bucket FROM cur, s),
            |rc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ref_count FROM rb GROUP BY 1),
            |cc AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cur_count FROM cb GROUP BY 1)
-           |SELECT COALESCE(rc.bucket, cc.bucket) AS bucket,
+           |SELECT CAST(COALESCE(rc.bucket, cc.bucket) AS BIGINT) AS bucket,
            |  COALESCE(ref_count, CAST(0 AS BIGINT)) AS ref_count,
            |  COALESCE(cur_count, CAST(0 AS BIGINT)) AS cur_count
            |FROM rc FULL OUTER JOIN cc ON rc.bucket = cc.bucket

@@ -4,31 +4,69 @@
 Usage: python3 tools/precheck.py <sfDir> <verifyOutDir> [query ...]
 
 For each query with an oracle_sql entry: loads the Spark result parquet and
-the DuckDB oracle result, sorts columns by name and rows by all values,
-rounds floats to 6dp, and reports row/schema/value match. This is a local
-iteration loop only — the engine itself has no Python anywhere.
+the DuckDB oracle result BOTH ways —
+
+  * python-value level (`fetchall()`), the historical comparison; and
+  * pandas level (`.df()`), which is what the DRIVER hashes. DuckDB types
+    that pandas widens (HUGEINT -> float64, DECIMAL -> object/float) differ
+    here even when the python values coincide: round 4/5 shipped a
+    "69/69 local" q_embed_drift twice while the driver saw a hash mismatch,
+    because the oracle's `list_sum` bucket is HUGEINT -> float64 ("3.0")
+    while Spark emits int64 ("3").
+
+A query passes only if the PANDAS-level canonical forms match (rows, column
+names, and stringified cell values including dtype-induced rendering), so
+local green implies driver green. This is a local iteration loop only — the
+engine itself has no Python anywhere.
 """
 import json, math, os, sys
 import duckdb
+import numpy as np
 
 def cell(v):
-    if isinstance(v, float):
+    # numpy scalars stringify differently from python ints (np.float64(3.0)
+    # -> "3.0" vs int 3 -> "3"): KEEP that distinction — it is exactly the
+    # dtype-representation difference the driver's pandas hash sees.
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
             return "NaN"
         v = round(v, 6)
         if v == 0.0:
             v = 0.0  # normalize -0.0
-        return str(v)
+        return repr(v)
+    if isinstance(v, (int, np.integer)):
+        return repr(int(v))
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(cell(x) for x in v.tolist()) + "]"
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(cell(x) for x in v) + "]"
+    if v is None:
+        return "None"
     return str(v)
 
-def canon(rows, cols):
+def canon_df(df):
+    """Driver-faithful canonical form: columns sorted by name, rows
+    stringified FROM THE PANDAS REPRESENTATION and sorted."""
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append("|".join(cell(v) for v in row))
+    return sorted(out)
+
+def dtype_kinds(df):
+    return {c: df[c].dtype.kind for c in df.columns}
+
+def canon_py(rows, cols):
     ordered = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted("|".join(cell(r[i]) for i in ordered) for r in rows)
 
-def has_lists(rows):
-    return any(isinstance(v, (list, tuple)) for r in rows[:5] for v in r)
+def has_lists(df):
+    for c in df.columns:
+        s = df[c].head(5)
+        if any(isinstance(v, (list, tuple, np.ndarray)) for v in s):
+            return True
+    return False
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -49,25 +87,29 @@ def main():
             print(f"{name}: MISSING spark output")
             failures += 1
             continue
-        sq = con.execute(
-            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-        s_cols = [d[0] for d in sq.description]
-        s_rows = sq.fetchall()
+        s_df = con.execute(
+            f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
         try:
-            oq = con.execute(oracle[name])
+            o_cur = con.execute(oracle[name])
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}")
             failures += 1
             continue
-        o_cols = [d[0] for d in oq.description]
-        o_rows = oq.fetchall()
-        schema_ok = sorted(s_cols) == sorted(o_cols)
-        rows_ok = len(s_rows) == len(o_rows)
-        vals_ok = schema_ok and canon(s_rows, s_cols) == canon(o_rows, o_cols)
-        status = "OK" if (schema_ok and rows_ok and vals_ok) else "FAIL"
-        print(f"{name}: {status} rows={len(s_rows)}/{len(o_rows)} "
-              f"schema={schema_ok} values={vals_ok}")
-        if has_lists(s_rows):
+        o_df = o_cur.df()
+        schema_ok = sorted(s_df.columns) == sorted(o_df.columns)
+        rows_ok = len(s_df) == len(o_df)
+        s_canon = canon_df(s_df)
+        o_canon = canon_df(o_df) if schema_ok else []
+        pandas_ok = schema_ok and rows_ok and s_canon == o_canon
+        # dtype KIND comparison (i/u/f/b/O/M...) — the usual culprit when
+        # values match but the pandas canon differs
+        s_kinds, o_kinds = dtype_kinds(s_df), dtype_kinds(o_df)
+        dtypes_ok = schema_ok and all(
+            s_kinds[c] == o_kinds[c] for c in s_df.columns)
+        status = "OK" if (pandas_ok and dtypes_ok) else "FAIL"
+        print(f"{name}: {status} rows={len(s_df)}/{len(o_df)} "
+              f"schema={schema_ok} pandas_values={pandas_ok} dtypes={dtypes_ok}")
+        if has_lists(s_df):
             # the DRIVER's pandas harness cannot sort array columns and
             # records `err` for the whole query — flag it here even though
             # this precheck compares lists fine
@@ -76,11 +118,15 @@ def main():
         if status == "FAIL":
             failures += 1
             if not schema_ok:
-                print(f"  spark cols:  {sorted(s_cols)}")
-                print(f"  oracle cols: {sorted(o_cols)}")
-            elif not vals_ok:
-                a, b = canon(s_rows, s_cols), canon(o_rows, o_cols)
-                diffs = [(x, y) for x, y in zip(a, b) if x != y][:5]
+                print(f"  spark cols:  {sorted(s_df.columns)}")
+                print(f"  oracle cols: {sorted(o_df.columns)}")
+            else:
+                if not dtypes_ok:
+                    for c in s_df.columns:
+                        if s_kinds[c] != o_kinds[c]:
+                            print(f"  dtype {c}: spark={s_df[c].dtype} "
+                                  f"oracle={o_df[c].dtype}")
+                diffs = [(x, y) for x, y in zip(s_canon, o_canon) if x != y][:5]
                 for x, y in diffs:
                     print(f"  spark:  {x}\n  oracle: {y}")
     sys.exit(1 if failures else 0)

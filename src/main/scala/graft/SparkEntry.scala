@@ -253,15 +253,27 @@ object SparkEntry {
       def r6(x: Double) = new java.math.BigDecimal(x)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       import s.implicits._
-      Seq("cur" -> (col("event_id") % 2 === 1),
-          "ref" -> (col("event_id") % 2 === 0)).flatMap { case (name, pred) =>
+      // the two populations' sketch and exact-percentile jobs are four
+      // INDEPENDENT actions — submit them concurrently so their stages
+      // interleave in the scheduler (guide §2.6; values are unchanged,
+      // each job computes exactly what the sequential form did)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val probeSql = qs.flatMap(t => Seq(t._3, t._4))
+        .map(p => s"${p}D").mkString("array(", ", ", ")")
+      val futures = Seq("cur" -> (col("event_id") % 2 === 1),
+          "ref" -> (col("event_id") % 2 === 0)).map { case (name, pred) =>
         val pop = events.where(pred)
-        val sk = TypedAggregators.sketchColumn(pop, "value")
-        val probeSql = qs.flatMap(t => Seq(t._3, t._4))
-          .map(p => s"${p}D").mkString("array(", ", ", ")")
-        val exact = pop.select(
-          expr(s"percentile(CAST(value AS DOUBLE), $probeSql)").as("p"))
-          .collect()(0).getAs[scala.collection.Seq[Double]]("p")
+        val fSk = Future(TypedAggregators.sketchColumn(pop, "value"))
+        val fExact = Future(pop.select(
+            expr(s"percentile(CAST(value AS DOUBLE), $probeSql)").as("p"))
+          .collect()(0).getAs[scala.collection.Seq[Double]]("p"))
+        (name, fSk, fExact)
+      }
+      futures.flatMap { case (name, fSk, fExact) =>
+        val sk = Await.result(fSk, Duration.Inf)
+        val exact = Await.result(fExact, Duration.Inf)
         qs.zipWithIndex.map { case ((m, q, _, _), i) =>
           val lo = exact(2 * i); val hi = exact(2 * i + 1)
           val v = sk.quantile(q)

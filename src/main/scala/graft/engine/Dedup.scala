@@ -386,13 +386,20 @@ object Dedup {
   def keepBest(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val text = coalesce(col(textCol), lit(""))
     val score = TextOps.qualityColumns(text).toMap.apply("quality_score")
-    docs.select(col(idCol).cast(LongType).as("doc_id"),
-        TextOps.fingerprint(text).as("f"), score.as("score"))
-      .groupBy("f")
+    keepBestScored(docs.select(col(idCol).cast(LongType).as("doc_id"),
+      TextOps.fingerprint(text).as("f"), score.as("score")))
+  }
+
+  /** [[keepBest]] over a frame already carrying (doc_id, f, score) — lets a
+    * pipeline that has just paid a quality projection
+    * ([[Pipeline.curate]]'s verdict pass computes the same composite score)
+    * reuse it instead of re-deriving the four character-class ratios from
+    * the text a second time. Same aggregate, same output contract. */
+  def keepBestScored(scored: DataFrame): DataFrame =
+    scored.groupBy("f")
       .agg(max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
         count(lit(1)).as("n_members"),
         round(max("score"), 6).as("best_score"))
-  }
 
   /** Exact substring-dedup spans, window-granular (the "remove repeated
     * ≥k-token runs from training data" operator of Lee et al.,
@@ -576,7 +583,14 @@ object Dedup {
     * pairs accumulate `minShared` hits from RARE fingerprints. Benchmarks
     * on corpora with heavy cross-doc token reuse run maxBucket ≈ 64·
     * minShared; the 10k default suits real prose where cross-doc
-    * collisions are sparse. */
+    * collisions are sparse. (A PPJoin-style prefix filter was tried in
+    * round 6 and REVERTED: with ~30 fingerprints per doc and minShared=8
+    * the (n−t+1)-prefix keeps ~75% of every posting list, so candidate
+    * generation barely shrank while the per-candidate array-intersect
+    * verify and the extra per-doc sort/slice stages ~4×'d the stage task
+    * time on the twins corpus — the partial-aggregable pair count below
+    * beats it at this fingerprint density.)
+    */
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 16, minShared: Int = 8,
@@ -631,12 +645,27 @@ object Dedup {
     // truncation the logical plan doubles per iteration and the analyzer
     // cost explodes exponentially. On a cluster swap for a reliable
     // checkpoint dir (same call shape).
+    // LAZY checkpoints (eager = false): each round's convergence aggregate
+    // below is the action that materializes the round's checkpoint, so a
+    // round costs ONE job, not a checkpoint job plus an aggregate job.
     val sym = pairs.select(col("id_a").cast(LongType).as("src"), col("id_b").cast(LongType).as("dst"))
       .union(pairs.select(col("id_b").cast(LongType).as("src"), col("id_a").cast(LongType).as("dst")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    // Convergence by LABEL-SUM: propagation is monotone (a row's label only
+    // ever decreases — it takes the least of itself and its neighbors), so
+    // next == labels  ⟺  Σ component unchanged. The sum runs in
+    // DECIMAL(38,0) (exact far past 10^12 rows of 2^63 labels, no modular
+    // wrap), making the test exact — and it costs one narrow aggregate on
+    // the freshly checkpointed frame instead of the join + count the
+    // previous formulation paid per round (one fewer shuffle per round at
+    // any scale).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast(DecimalType(38, 0)))).collect()(0)
+        .getDecimal(0)
+    var labelsSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -651,11 +680,12 @@ object Dedup {
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("min_nbr"), col("component"))).as("component"))
-        .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
+        .localCheckpoint(false)
+      val nextSum = labelSum(next) // materializes next's checkpoint too
       labels = next
-      converged = changed == 0
+      converged = nextSum == labelsSum ||
+        (nextSum != null && nextSum.compareTo(labelsSum) == 0)
+      labelsSum = nextSum
       iter += 1
     }
     labels.orderBy("id")
@@ -695,9 +725,12 @@ object Dedup {
       canon(withM.select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v"))))
     }
+    // lazy checkpoint: nodes are consumed once by the final labeling join,
+    // which materializes them there — an eager checkpoint would be a
+    // whole extra job for a frame read exactly once
     val nodes = pairs.select(col("id_a").cast(LongType).as("id"))
       .union(pairs.select(col("id_b").cast(LongType).as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(false)
     // fixed-point signature: (edge count, order-independent xors of TWO
     // independently-keyed per-edge 64-bit hashes) in ONE partial
     // aggregation — where the previous exact test ran two full `except`
@@ -715,9 +748,11 @@ object Dedup {
         coalesce(expr("bit_xor(xxhash64(v, u))"), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // lazy checkpoints: the sig() aggregate is the action that
+    // materializes each round's checkpoint — one job per round, not two
     var edges = canon(pairs.select(col("id_a").cast(LongType).as("u"),
         col("id_b").cast(LongType).as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var edgesSig = sig(edges)
     var iter = 0
     var converged = edgesSig._1 == 0L
@@ -725,7 +760,7 @@ object Dedup {
       if (iter >= maxIters)
         throw new IllegalStateException(
           s"star contraction did not converge in $maxIters rounds")
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
       val nextSig = sig(next)
       converged = nextSig == edgesSig
       if (verifyConvergenceExactly) {

@@ -372,6 +372,11 @@ object Pipeline {
     val base = shared.select(col("doc_id"), col("text"), col("tokens"),
       classRatio("[A-Za-z]").as("alpha_ratio"),
       classRatio("[0-9]").as("digit_ratio"),
+      // punct/space ratios feed only the quality SCORE below — computed
+      // here so downstream canonicalization ([[curate]] → keepBestScored)
+      // reuses this pass instead of re-deriving four ratios from text
+      classRatio("[.,;:!?'\"()\\[\\]-]").as("punct_ratio"),
+      classRatio("[ ]").as("space_ratio"),
       when(toksD === 0, 0.0)
         .otherwise((len - (toksD - 1)) / toksD).as("mean_word_len"),
       TextOps.langIdFromPadded(col("padded")).as("lang_id"),
@@ -387,10 +392,17 @@ object Pipeline {
     val reasons = concat_ws(",", rules.map { case (name, cond) =>
       when(cond, name).otherwise(lit(null).cast(StringType))
     }: _*)
+    // the same composite as TextOps.qualityColumns' quality_score, term for
+    // term (operand order matters for float reproducibility), over the
+    // ratios materialized above
+    val score = greatest(lit(0.0), least(lit(1.0),
+      col("alpha_ratio") * 0.6 + col("space_ratio") * 0.8 +
+        (lit(1.0) - col("digit_ratio")) * 0.2 - col("punct_ratio") * 0.3))
     base
       .withColumn("reasons", reasons)
       .withColumn("keep", col("reasons") === "")
-      .select("doc_id", "text", "tokens", "reasons", "keep")
+      .withColumn("score", score)
+      .select("doc_id", "text", "tokens", "reasons", "keep", "score")
   }
 
   /** DSIR-style importance resampling (Xie et al., "Data Selection for
@@ -604,7 +616,13 @@ object Pipeline {
     // own write AND the canonical semi-join) and the semi-join + split per
     // downstream (curated feeds its write AND the packing lineage). Both
     // caches are tracked and dropped by Caches.releaseAll().
-    val clusters = Caches.persistTracked(Dedup.keepBest(kept, "doc_id", "text"))
+    // keepBestScored reads the verdict pass's cached score — the composite
+    // is computed once per doc for the whole chain (CurateSpec pins
+    // clusters ≡ Dedup.keepBest over the same kept corpus).
+    val clusters = Caches.persistTracked(Dedup.keepBestScored(
+      verdicts.where(col("keep")).select(col("doc_id"),
+        TextOps.fingerprint(coalesce(col("text"), lit(""))).as("f"),
+        col("score"))))
     val canon = kept.join(
       clusters.select(col("keep_id").as("doc_id")), Seq("doc_id"), "left_semi")
     val curated = Caches.persistTracked(withSplit(canon, "doc_id", salt = salt))

@@ -375,6 +375,12 @@ object SchemaInfer {
       "evidenceDiffPaired needs same-column snapshots; use evidenceDiff for heterogeneous frames")
     val side = "__graft_side"
     val cols = ref.columns.map(col).toSeq
+    // deliberately NOT cached: each per-leaf branch reads only 1-2 PRUNED
+    // columns of the union, and parquet re-scans of narrow columns beat a
+    // full-width columnar cache materialization (measured at sf0.1: caching
+    // the tagged union grew the drift query from 25 to 36 jobs and from
+    // ~25 s to ~40 s of stage task time — the cache build decodes and
+    // re-encodes every column once, which the branches never need)
     val tagged = ref.select(lit("r").as(side) +: cols: _*)
       .unionByName(cur.select(lit("c").as(side) +: cols: _*))
     val framesAndLeaves = frames(tagged, carry = Some(side))

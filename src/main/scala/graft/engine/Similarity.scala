@@ -615,6 +615,10 @@ object Similarity {
     val spark = queries.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
+    // an exhaustive probe (nProbe covers every cell) cannot prune anything:
+    // skip the query-assignment cache + probed-cell collect + isin filter
+    // outright — three jobs whose only purpose is partition pruning
+    val prune = pruneCells && nProbe < cents.length
     val q0 = queries
       .select(col(idCol).cast(LongType).as("id_a"),
         col(vecCol).cast("array<float>").as("vec_a"))
@@ -628,9 +632,9 @@ object Similarity {
     // under pruning the query assignment feeds TWO consumers (the probed-
     // cell collect and the join) — cache it so the flatMap lineage runs
     // once (tracked, released by the caller's Caches.releaseAll)
-    val q = if (pruneCells) q0.persistTracked() else q0
+    val q = if (prune) q0.persistTracked() else q0
     val c =
-      if (!pruneCells) cellsFrame
+      if (!prune) cellsFrame
       else {
         // bounded driver collect: at most nlist distinct cells
         val probed = q.select("cell").distinct().collect().map(_.getInt(0))

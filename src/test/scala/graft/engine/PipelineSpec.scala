@@ -393,6 +393,16 @@ class PipelineSpec extends AnyFunSuite {
     val totalToks = packedRows.map(_.getAs[Long]("toks")).sum
     assert(packedRows.map(r => r.getAs[Long]("start_off") + r.getAs[Long]("toks")).max
       === totalToks)
+    // curate's keepBestScored (score reused from the verdict pass) must
+    // equal standalone keepBest (score re-derived from text) over the same
+    // kept corpus — pins that the verdict pass's composite is the same
+    // composite, double for double
+    val keptCorpus = Pipeline.qualityVerdictsWithText(
+        corpus.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text")
+      .where(col("keep")).select("doc_id", "text")
+    assert(run.clusters.collect().map(_.toSeq).toSet ===
+      Dedup.keepBest(keptCorpus, "doc_id", "text").collect().map(_.toSeq).toSet)
   }
 
   test("chunkDocs tiles the token stream with exact overlap and offsets") {

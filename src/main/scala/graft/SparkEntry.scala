@@ -41,10 +41,24 @@ object SparkEntry {
         .digest(desc.getBytes("UTF-8")).take(6)
         .map("%02x".format(_)).mkString
     }
-    val p = s"/tmp/graft-ivf/${new java.io.File(dir).getName}-nlist8-v1-$stamp"
-    if (!new java.io.File(s"$p/cells/_SUCCESS").exists())
+    val base = new java.io.File(dir).getName
+    val p = s"/tmp/graft-ivf/$base-nlist8-v1-$stamp"
+    if (!new java.io.File(s"$p/cells/_SUCCESS").exists()) {
+      // a regenerated dataset changes the stamp: drop sibling stamped dirs
+      // for the same basename so /tmp never accumulates stale corpus
+      // copies (each holds a full cell-assignment of the embeddings)
+      Option(new java.io.File("/tmp/graft-ivf").listFiles()).foreach(_
+        .filter(f => f.getName.startsWith(s"$base-nlist8-v1-") && f.getPath != p)
+        .foreach { f =>
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) Option(x.listFiles()).foreach(_.foreach(rm))
+            x.delete(); ()
+          }
+          rm(f)
+        })
       Similarity.writeIvfIndex(
         s.read.parquet(s"$dir/embeddings.parquet"), p, nlist = 8)
+    }
     Similarity.loadIvfIndex(s, p)
   }
 

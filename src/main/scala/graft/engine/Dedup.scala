@@ -251,10 +251,17 @@ object Dedup {
       .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
       .where(col("n") > maxBucket).count()
 
-  /** Exact n-gram Jaccard for a candidate pair frame (columns sh_a, sh_b). */
-  def jaccard(shA: Column, shB: Column): Column =
-    size(array_intersect(shA, shB)).cast(DoubleType) /
-      size(array_union(shA, shB)).cast(DoubleType)
+  /** Exact n-gram Jaccard for a candidate pair frame (columns sh_a, sh_b).
+    * REQUIRES per-side-distinct arrays — every producer in this engine
+    * emits distinct shingle sets ([[shinglesOf]]/[[wordShingles]] dedup) —
+    * so |A∪B| = |A|+|B|−|A∩B| and the union's second per-row hash-set
+    * build is replaced by arithmetic over the intersect (the intersect
+    * subtree appears twice; whole-stage codegen's subexpression
+    * elimination evaluates it once). */
+  def jaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast(DoubleType)
+    inter / (size(shA).cast(DoubleType) + size(shB).cast(DoubleType) - inter)
+  }
 
   /** 64-bit SimHash over whitespace tokens (hamming distance via
     * `bit_count(a ^ b)`), as a native codegen expression — per-token

@@ -451,8 +451,17 @@ object Pipeline {
     def marginals(df: DataFrame): Map[Long, Long] =
       toks(df).groupBy("b").agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val tCounts = marginals(target)
-    val rCounts = marginals(raw)
+    // the two marginal aggregations are independent jobs — run them
+    // concurrently so their stages interleave (the SchemaInfer.diffRows
+    // move); results are unchanged, each job computes what it did before
+    val (tCounts, rCounts) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val ft = Future(marginals(target))
+      val fr = Future(marginals(raw))
+      (Await.result(ft, Duration.Inf), Await.result(fr, Duration.Inf))
+    }
     val tTot = tCounts.values.sum.toDouble
     val rTot = rCounts.values.sum.toDouble
     val lrArr = Array.tabulate(buckets) { b =>

@@ -358,11 +358,13 @@ object SchemaInfer {
     * BOTH sides computed in ONE tagged pass: the snapshots union under a
     * side tag and every per-leaf branch aggregate runs `groupBy(side)` —
     * half the stages and half the generated classes of
-    * `evidenceDiff(evidence(ref), evidence(cur))`, with identical output
-    * when both sides are non-empty. (An EMPTY side has no group row, so its
-    * paths report as added/removed rather than as zero-count evidence —
-    * for micro-batch monitoring against a precomputed reference use
-    * [[contractBreaks]], which takes the reference evidence as a frame.) */
+    * `evidenceDiff(evidence(ref), evidence(cur))`, with identical output —
+    * including for an EMPTY side: any (path, side) group with no row
+    * (empty snapshot, or an all-null/empty array column whose explode
+    * drops every row) is synthesized as the same zero-count evidence a
+    * global aggregate emits, so paired ≡ two-pass unconditionally. For
+    * micro-batch monitoring against a precomputed reference evidence
+    * frame, [[contractBreaks]] remains the right entry point. */
   def evidenceDiffPaired(
       ref: DataFrame, cur: DataFrame, breaksOnly: Boolean = false): DataFrame = {
     // same column NAMES required; types are reconciled by the union's own

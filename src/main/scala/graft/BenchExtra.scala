@@ -118,6 +118,10 @@ object BenchExtra {
         val secs = (System.nanoTime() - t0) / 1e9
         spark.sparkContext.setJobDescription(null)
         graft.engine.Caches.releaseAll()
+        // listener events arrive on the async bus — give it a moment to
+        // drain so metrics attribute to THIS query, not the next one
+        // (does not affect `secs`, which is already taken)
+        Thread.sleep(300)
         println(f"[run$r] $name%-28s ${secs}%7.3fs  ${metrics.line}")
         name -> secs
       }

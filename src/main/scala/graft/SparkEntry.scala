@@ -44,9 +44,16 @@ object SparkEntry {
     val base = new java.io.File(dir).getName
     val p = s"/tmp/graft-ivf/$base-nlist8-v1-$stamp"
     if (!new java.io.File(s"$p/cells/_SUCCESS").exists()) {
-      // a regenerated dataset changes the stamp: drop sibling stamped dirs
-      // for the same basename so /tmp never accumulates stale corpus
-      // copies (each holds a full cell-assignment of the embeddings)
+      Similarity.writeIvfIndex(
+        s.read.parquet(s"$dir/embeddings.parquet"), p, nlist = 8)
+      // a regenerated dataset changes the stamp: AFTER the new index lands,
+      // drop sibling stamped dirs for the same basename so /tmp never
+      // accumulates stale corpus copies (each holds a full cell-assignment
+      // of the embeddings). Deleting after the build means a concurrent
+      // builder of the same new stamp is never clobbered mid-write; a
+      // reader still holding a lazy frame over an OLD stamp breaks on its
+      // next action, which is inherent to evicting — it was reading a
+      // superseded snapshot.
       Option(new java.io.File("/tmp/graft-ivf").listFiles()).foreach(_
         .filter(f => f.getName.startsWith(s"$base-nlist8-v1-") && f.getPath != p)
         .foreach { f =>
@@ -56,8 +63,6 @@ object SparkEntry {
           }
           rm(f)
         })
-      Similarity.writeIvfIndex(
-        s.read.parquet(s"$dir/embeddings.parquet"), p, nlist = 8)
     }
     Similarity.loadIvfIndex(s, p)
   }

@@ -98,7 +98,7 @@ class Round3FixSpec extends AnyFunSuite {
     assert(capped.count() === 0, "hot fingerprints above the cap must be dropped")
   }
 
-  test("winnowPairs prefix filter is exact: equals the unfiltered inverted-index join") {
+  test("winnowPairs window-count formulation equals the unfiltered inverted-index groupBy join") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
     val corpus = TextOps.withMutatedTwins(docs, "doc_id", "text")

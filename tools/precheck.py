@@ -4,20 +4,17 @@
 Usage: python3 tools/precheck.py <sfDir> <verifyOutDir> [query ...]
 
 For each query with an oracle_sql entry: loads the Spark result parquet and
-the DuckDB oracle result BOTH ways —
+the DuckDB oracle result at the pandas (`.df()`) level — what the DRIVER
+hashes. DuckDB types that pandas widens (HUGEINT -> float64, DECIMAL ->
+object/float) differ there even when python values coincide: round 4/5
+shipped a "69/69 local" q_embed_drift twice while the driver saw a hash
+mismatch, because the oracle's `list_sum` bucket is HUGEINT -> float64
+("3.0") while Spark emits int64 ("3").
 
-  * python-value level (`fetchall()`), the historical comparison; and
-  * pandas level (`.df()`), which is what the DRIVER hashes. DuckDB types
-    that pandas widens (HUGEINT -> float64, DECIMAL -> object/float) differ
-    here even when the python values coincide: round 4/5 shipped a
-    "69/69 local" q_embed_drift twice while the driver saw a hash mismatch,
-    because the oracle's `list_sum` bucket is HUGEINT -> float64 ("3.0")
-    while Spark emits int64 ("3").
-
-A query passes only if the PANDAS-level canonical forms match (rows, column
-names, and stringified cell values including dtype-induced rendering), so
-local green implies driver green. This is a local iteration loop only — the
-engine itself has no Python anywhere.
+A query passes only if the pandas-level canonical forms match (rows, column
+names, and stringified cell values including dtype-induced rendering) AND
+the per-column dtype kinds match, so local green implies driver green. This
+is a local iteration loop only — the engine itself has no Python anywhere.
 """
 import json, math, os, sys
 import duckdb
@@ -27,6 +24,11 @@ def cell(v):
     # numpy scalars stringify differently from python ints (np.float64(3.0)
     # -> "3.0" vs int 3 -> "3"): KEEP that distinction — it is exactly the
     # dtype-representation difference the driver's pandas hash sees.
+    # bool FIRST: python bool subclasses int, and pandas itertuples yields
+    # python bool for bool-dtype columns — the driver sees "True"/"False",
+    # not "1"/"0"
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
     if isinstance(v, (float, np.floating)):
         v = float(v)
         if math.isnan(v):
@@ -56,10 +58,6 @@ def canon_df(df):
 
 def dtype_kinds(df):
     return {c: df[c].dtype.kind for c in df.columns}
-
-def canon_py(rows, cols):
-    ordered = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(cell(r[i]) for i in ordered) for r in rows)
 
 def has_lists(df):
     for c in df.columns:
@@ -126,9 +124,12 @@ def main():
                         if s_kinds[c] != o_kinds[c]:
                             print(f"  dtype {c}: spark={s_df[c].dtype} "
                                   f"oracle={o_df[c].dtype}")
-                diffs = [(x, y) for x, y in zip(s_canon, o_canon) if x != y][:5]
-                for x, y in diffs:
-                    print(f"  spark:  {x}\n  oracle: {y}")
+                only_s = [x for x in s_canon if x not in set(o_canon)][:5]
+                only_o = [x for x in o_canon if x not in set(s_canon)][:5]
+                for x in only_s:
+                    print(f"  only in spark:  {x}")
+                for x in only_o:
+                    print(f"  only in oracle: {x}")
     sys.exit(1 if failures else 0)
 
 if __name__ == "__main__":
